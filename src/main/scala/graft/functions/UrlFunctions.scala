@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark Column/UDF surface over the pure URL + HTML cores (SURVEY.md §2.2-2.3).
+  *
+  * v1 ships Scala UDFs (correct, fusion-breaking at the UDF boundary);
+  * the hash/bucket helpers are pure builtin compositions and stay inside
+  * whole-stage codegen. All UDFs are registered under stable SQL names so
+  * `spark.sql` plans can use them too.
+  */
+object UrlFunctions {
+
+  // --- codegen'd builtin compositions (no UDF) ---
+
+  /** U5: 64-bit key of a (surt) string — builtin xxhash64, seed 42. */
+  def urlHash(c: Column): Column = xxhash64(c)
+
+  /** Host bucket: pmod(xxhash64(host), B) — the partitioning key (§4.2). */
+  def hostBucket(host: Column, buckets: Int): Column =
+    pmod(xxhash64(host), lit(buckets.toLong)).cast("int")
+
+  /** U3 as a pure builtin composition (demo path; engine uses the UDF). */
+  def hostReverseCol(host: Column): Column =
+    concat_ws(".", reverse(split(host, "\\.")))
+
+  // --- UDFs over the pure core ---
+
+  val canonUdf = udf((raw: String) => Option(UrlCanon.canonicalize(raw)))
+  val surtUdf = udf((raw: String) => Option(UrlCanon.surt(raw)))
+  val hostOfUdf = udf((raw: String) => Option(UrlCanon.hostOf(raw)))
+  val regHostUdf = udf((h: String) => Option(UrlCanon.regHost(h)))
+  val hostReverseUdf = udf((h: String) => Option(UrlCanon.hostReverse(h)))
+  val resolveUdf = udf((base: String, ref: String) => Option(UrlCanon.resolve(base, ref)))
+  val pathOfUdf = udf((raw: String) => Option(UrlCanon.parse(raw)).filter(_ != null).map(_.path))
+
+  val extractLinksUdf = udf((html: Array[Byte]) => Html.extractLinks(html))
+  val extractTextUdf = udf((html: Array[Byte]) => Html.extractText(html))
+
+  /** Register every function for SQL use. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("canon_url", canonUdf)
+    spark.udf.register("surt", surtUdf)
+    spark.udf.register("host_of", hostOfUdf)
+    spark.udf.register("reg_host", regHostUdf)
+    spark.udf.register("host_reverse", hostReverseUdf)
+    spark.udf.register("resolve_link", resolveUdf)
+    spark.udf.register("url_path", pathOfUdf)
+    spark.udf.register("extract_links", extractLinksUdf)
+    spark.udf.register("extract_text", extractTextUdf)
+  }
+}

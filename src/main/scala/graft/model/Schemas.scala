@@ -1,0 +1,147 @@
+package graft.model
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.types._
+
+/** Frozen data model `[SPEC-S1]` — SURVEY.md §1.2.
+  *
+  * Every table has an explicit StructType (no schema inference anywhere) and a
+  * mirroring case class so code can move between DataFrame (Catalyst-optimized
+  * relational ops) and Dataset[T] (typed invariants at module boundaries).
+  *
+  * Input contract (BASELINE.json `input_hint`): the `pages` table is exactly
+  * (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING).
+  */
+final case class Page(
+    url: String,
+    warc_ts: Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String)
+
+/** One URL awaiting fetch. `surt` is the primary key (SURVEY.md §1.2). */
+final case class FrontierEntry(
+    surt: String,
+    url: String,
+    host: String,
+    host_bucket: Int,
+    url_hash: Long,
+    depth: Int,
+    score: Double,
+    discovered_round: Long,
+    parent_surt: String)
+
+/** Exact membership record of every URL ever admitted to the frontier. */
+final case class SeenEntry(surt: String, url_hash: Long, host_bucket: Int, first_round: Long)
+
+/** Per-host politeness state (token bucket — SURVEY.md §2.10 `[SPEC-T1]`). */
+final case class HostState(
+    host: String,
+    host_bucket: Int,
+    tokens: Double,
+    crawl_delay_rounds: Double,
+    last_round: Long)
+
+/** Per-fetch lineage record (BASELINE.json: per-partition lineage + counters). */
+final case class FetchRecord(
+    round: Long,
+    surt: String,
+    url: String,
+    host: String,
+    status: Int,
+    n_links: Int,
+    text_xxh64: Long,
+    partition_id: Int)
+
+/** Parsed robots.txt policy for one host (`[SPEC-R1]`).
+  * Rules are (isAllow, pathPrefix); longest-prefix match wins, tie → allow.
+  */
+final case class RobotsPolicy(
+    host: String,
+    disallow: Seq[String],
+    allow: Seq[String],
+    crawlDelayRounds: Double) {
+
+  /** Longest-match allow/disallow decision; no matching rule → allowed. */
+  def allows(path: String): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    var i = 0
+    while (i < disallow.length) {
+      val p = disallow(i)
+      if (path.startsWith(p) && (p.length > bestLen || (p.length == bestLen && !bestAllow))) {
+        // disallow only wins strictly-longer matches (tie → allow)
+        if (p.length > bestLen) { bestLen = p.length; bestAllow = false }
+      }
+      i += 1
+    }
+    i = 0
+    while (i < allow.length) {
+      val p = allow(i)
+      if (path.startsWith(p) && p.length >= bestLen) { bestLen = p.length; bestAllow = true }
+      i += 1
+    }
+    bestAllow
+  }
+}
+
+/** Crawl configuration — plain Scala, no dynamic config (SURVEY.md §1.3). */
+final case class CrawlConfig(
+    buckets: Int = 64,          // host-hash buckets B; 4096 at contract scale
+    roundBudget: Int = 50000,   // K — global per-round fetch budget
+    maxDepth: Int = 12,
+    burstTokens: Double = 2.0,  // token-bucket capacity
+    initialTokens: Double = 1.0,
+    defaultCrawlDelayRounds: Double = 1.0,
+    maxPathLength: Int = 2048,
+    bloomFpp: Double = 1e-3,
+    hotHostThreshold: Long = 100000, // A5: candidate count above which a host is salted
+    saltFactor: Int = 8)
+
+object Schemas {
+  val pages: StructType = StructType(Seq(
+    StructField("url", StringType, nullable = false),
+    StructField("warc_ts", TimestampType, nullable = false),
+    StructField("html", BinaryType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("lang", StringType, nullable = false)))
+
+  val frontier: StructType = StructType(Seq(
+    StructField("surt", StringType, nullable = false),
+    StructField("url", StringType, nullable = false),
+    StructField("host", StringType, nullable = false),
+    StructField("host_bucket", IntegerType, nullable = false),
+    StructField("url_hash", LongType, nullable = false),
+    StructField("depth", IntegerType, nullable = false),
+    StructField("score", DoubleType, nullable = false),
+    StructField("discovered_round", LongType, nullable = false),
+    StructField("parent_surt", StringType, nullable = false)))
+
+  val urlSeen: StructType = StructType(Seq(
+    StructField("surt", StringType, nullable = false),
+    StructField("url_hash", LongType, nullable = false),
+    StructField("host_bucket", IntegerType, nullable = false),
+    StructField("first_round", LongType, nullable = false)))
+
+  val hostState: StructType = StructType(Seq(
+    StructField("host", StringType, nullable = false),
+    StructField("host_bucket", IntegerType, nullable = false),
+    StructField("tokens", DoubleType, nullable = false),
+    StructField("crawl_delay_rounds", DoubleType, nullable = false),
+    StructField("last_round", LongType, nullable = false)))
+
+  val fetchLog: StructType = StructType(Seq(
+    StructField("round", LongType, nullable = false),
+    StructField("surt", StringType, nullable = false),
+    StructField("url", StringType, nullable = false),
+    StructField("host", StringType, nullable = false),
+    StructField("status", IntegerType, nullable = false),
+    StructField("n_links", IntegerType, nullable = false),
+    StructField("text_xxh64", LongType, nullable = false),
+    StructField("partition_id", IntegerType, nullable = false)))
+
+  val robots: StructType = StructType(Seq(
+    StructField("host", StringType, nullable = false),
+    StructField("robots_txt", StringType, nullable = false)))
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Bloom64, BloomAggregator}
+import graft.model.CrawlConfig
+
+/** URL-seen bloom sidecars — SURVEY.md D2/A6, the DRUM-inspired fast path.
+  *
+  * One Bloom64 per host_bucket, persisted as little-endian longs at
+  * `<seenDir>/_bloom/<version>/bucket-<k>.bloom`, built incrementally: each
+  * commit ORs the previous version's filter with a filter of only the NEW
+  * entries (one aggregation pass over the delta, map-side partials — no
+  * full-seen rescan per round). A bucket whose saturation exceeds 0.5 is
+  * rebuilt at double size from the full seen set (rare; logged in the name).
+  *
+  * Probe semantics: mightContain=false ⇒ definitely unseen (admit without
+  * touching the exact set); true ⇒ maybe seen ⇒ resolved by the exact
+  * anti-join (D3). Membership therefore stays exact while the anti-join's
+  * probe side shrinks to (new ∪ false-positives) — the property P4 test pins
+  * "no false negatives".
+  */
+object SeenStore {
+
+  private def bloomDir(seenDir: String, v: Long) = Paths.get(seenDir, "_bloom", v.toString)
+
+  def write(seenDir: String, v: Long, blooms: Map[Int, Array[Long]]): Unit = {
+    val dir = bloomDir(seenDir, v)
+    Files.createDirectories(dir)
+    blooms.foreach { case (bucket, bf) =>
+      val bb = java.nio.ByteBuffer.allocate(bf.length * 8)
+      bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bf.foreach(bb.putLong)
+      Files.write(dir.resolve(s"bucket-$bucket.bloom"), bb.array())
+    }
+  }
+
+  def readAll(seenDir: String, v: Long): Map[Int, Array[Long]] = {
+    val dir = bloomDir(seenDir, v)
+    if (!Files.exists(dir)) return Map.empty
+    Files.list(dir).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".bloom"))
+      .map { p =>
+        val bucket = p.getFileName.toString.stripPrefix("bucket-").stripSuffix(".bloom").toInt
+        val bytes = Files.readAllBytes(p)
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val arr = new Array[Long](bytes.length / 8)
+        var i = 0
+        while (i < arr.length) { arr(i) = bb.getLong(); i += 1 }
+        bucket -> arr
+      }.toMap
+  }
+
+  /** Build per-bucket blooms over `url_hash` in ONE aggregation pass. */
+  def buildBlooms(df: DataFrame, expectedPerBucket: Long, cfg: CrawlConfig): Map[Int, Array[Long]] = {
+    val agg = udaf(new BloomAggregator(math.max(1024L, expectedPerBucket), cfg.bloomFpp))
+    df.groupBy(col("host_bucket"))
+      .agg(agg(col("url_hash")).as("bloom"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
+      .toMap
+  }
+
+  /** Incremental update: prev blooms OR delta blooms; shape-mismatched or
+    * saturated buckets are rebuilt at the next size from `fullSeen`.
+    */
+  def update(
+      spark: SparkSession,
+      seenDir: String,
+      prevVersion: Option[Long],
+      newVersion: Long,
+      delta: DataFrame,
+      fullSeen: => DataFrame,
+      expectedPerBucket: Long,
+      cfg: CrawlConfig): Map[Int, Array[Long]] = {
+    val prev = prevVersion.map(readAll(seenDir, _)).getOrElse(Map.empty)
+    val deltaBlooms = buildBlooms(delta, expectedPerBucket, cfg)
+    var needRebuild = List.empty[Int]
+    val merged = (prev.keySet ++ deltaBlooms.keySet).iterator.map { bucket =>
+      val m = (prev.get(bucket), deltaBlooms.get(bucket)) match {
+        case (Some(a), Some(b)) if a(0) == b(0) && a(1) == b(1) => Bloom64.merge(a.clone(), b)
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case (Some(_), Some(b)) => needRebuild ::= bucket; b // shape changed; rebuild below
+        case (None, None) => Bloom64.empty(1024, cfg.bloomFpp)
+      }
+      bucket -> m
+    }.toMap
+    val saturated = merged.collect { case (b, bf) if Bloom64.saturation(bf) > 0.5 => b }
+    val toRebuild = (needRebuild ++ saturated).distinct
+    val rebuilt =
+      if (toRebuild.isEmpty) merged
+      else {
+        val bigger = buildBlooms(
+          fullSeen.where(col("host_bucket").isin(toRebuild: _*)),
+          expectedPerBucket * 4, cfg)
+        merged ++ bigger
+      }
+    write(seenDir, newVersion, rebuilt)
+    rebuilt
+  }
+
+  /** Map-side probe column: true ⇒ maybe seen (must hit exact anti-join). */
+  def maybeSeenUdf(spark: SparkSession, blooms: Map[Int, Array[Long]]) = {
+    val bc = spark.sparkContext.broadcast(blooms)
+    udf((bucket: Int, urlHash: Long) =>
+      bc.value.get(bucket) match {
+        case Some(bf) => Bloom64.mightContain(bf, urlHash)
+        case None => false
+      })
+  }
+}

@@ -1,0 +1,110 @@
+package graft.plans
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.UrlFunctions
+import graft.model.{CrawlConfig, RobotsPolicy, Schemas}
+import graft.operators.SeenStore
+import graft.sources.StateTable
+
+/** Bootstrap + resume + loop drivers — SURVEY.md §3.2/§3.3.
+  *
+  * The crawl is a pure function of (seeds, pages, robots, config): seeds are
+  * canonicalized, filtered, deduplicated and committed as snapshot v0; every
+  * CrawlRound commits v+1; a killed run resumes from the minimum committed
+  * version across state tables (commits are ordered, so a partial round rolls
+  * back to the last complete one — old snapshots are retained for exactly
+  * this time travel).
+  */
+object SeedInjector {
+
+  def run(
+      spark: SparkSession,
+      stateDir: String,
+      seeds: Seq[String],
+      robotsBc: Broadcast[Map[String, RobotsPolicy]],
+      cfg: CrawlConfig): Long = {
+    import spark.implicits._
+    val allowUdf = udf((host: String, url: String) => {
+      val p = graft.functions.UrlCanon.parse(url)
+      p != null && robotsBc.value.get(host).forall(_.allows(p.path))
+    })
+    val frontier0 = seeds.toDF("raw")
+      .withColumn("url", UrlFunctions.canonUdf(col("raw")))
+      .where(col("url").isNotNull &&
+        (col("url").startsWith("http://") || col("url").startsWith("https://")) &&
+        length(col("url")) <= cfg.maxPathLength)
+      .withColumn("host", UrlFunctions.hostOfUdf(col("url")))
+      .where(allowUdf(col("host"), col("url")))
+      .withColumn("surt", UrlFunctions.surtUdf(col("url")))
+      .groupBy("surt")
+      .agg(min(struct(col("url").as("u"), col("host").as("h"))).as("f"))
+      .select(
+        col("surt"),
+        col("f.u").as("url"),
+        col("f.h").as("host"),
+        UrlFunctions.hostBucket(col("f.h"), cfg.buckets).as("host_bucket"),
+        xxhash64(col("surt")).as("url_hash"),
+        lit(0).as("depth"),
+        lit(1.0).as("score"),
+        lit(0L).as("discovered_round"),
+        lit("").as("parent_surt"))
+
+    val n = frontier0.count()
+    StateTable.commit(frontier0, CrawlRound.frontierDir(stateDir), 0L, 0L, Map("seeds" -> n))
+
+    val seen0 = frontier0.select(
+      col("surt"), col("url_hash"), col("host_bucket"), lit(0L).as("first_round"))
+    StateTable.commitAppend(seen0, CrawlRound.seenDir(stateDir), 0L, 0L, Map("seeds" -> n))
+    SeenStore.update(spark, CrawlRound.seenDir(stateDir), None, 0L, seen0,
+      seen0, expectedPerBucket = math.max(1024L, n * 8 / cfg.buckets + 1024L), cfg)
+
+    val emptyHost = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.hostState)
+    StateTable.commit(emptyHost, CrawlRound.hostStateDir(stateDir), 0L, 0L)
+    n
+  }
+}
+
+object Resume {
+
+  /** Last complete committed version across all state tables (None = no v0). */
+  def lastCompleteVersion(stateDir: String): Option[Long] = {
+    val vs = Seq(
+      StateTable.currentVersion(CrawlRound.frontierDir(stateDir)),
+      StateTable.currentVersion(CrawlRound.seenDir(stateDir)),
+      StateTable.currentVersion(CrawlRound.hostStateDir(stateDir)))
+    if (vs.exists(_.isEmpty)) None else Some(vs.flatten.min)
+  }
+}
+
+object Crawler {
+
+  /** Run (or resume) a crawl to `targetRounds` completed rounds. */
+  def crawl(
+      spark: SparkSession,
+      stateDir: String,
+      pages: DataFrame,
+      robotsTable: DataFrame,
+      seeds: Seq[String],
+      cfg: CrawlConfig,
+      targetRounds: Int): Seq[CrawlRound.RoundCounters] = {
+    val robotsBc = graft.operators.Robots.broadcastPolicies(spark, robotsTable, cfg)
+    val startV = Resume.lastCompleteVersion(stateDir) match {
+      case Some(v) => v
+      case None =>
+        SeedInjector.run(spark, stateDir, seeds, robotsBc, cfg)
+        0L
+    }
+    ((startV + 1) to targetRounds.toLong).map { r =>
+      CrawlRound.run(spark, stateDir, pages, robotsBc, cfg, r)
+    }
+  }
+
+  /** The O1 total frontier order at a version — the determinism linchpin. */
+  def orderedFrontier(spark: SparkSession, stateDir: String, version: Option[Long] = None): DataFrame =
+    StateTable.read(spark, CrawlRound.frontierDir(stateDir), version, Some(Schemas.frontier))
+      .orderBy(col("depth").asc, col("score").desc, col("surt").asc)
+}

@@ -1,0 +1,202 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Iceberg-style snapshot protocol over Parquet — `[SPEC-S2]` (SURVEY.md §1.4).
+  *
+  * No Iceberg/Delta jar exists on disk, so the contract's "Iceberg state
+  * tables" is satisfied by this explicit substitution: atomic snapshot
+  * commits, a snapshot log with per-round counters, time-travel reads, and
+  * resume-from-last-committed. Layout per table:
+  *
+  * {{{
+  * <dir>/snap-<v>/part-*.parquet   # immutable data files for version v
+  * <dir>/_log/<v>.json             # manifest: version, round, n_rows, counters
+  * <dir>/_log/CURRENT              # atomic pointer "<v>" (ATOMIC_MOVE)
+  * }}}
+  *
+  * Commit = write snap-<v> fully → write manifest → atomically move CURRENT.
+  * A killed run leaves a dangling snap-<v> no CURRENT references; resume reads
+  * CURRENT and ignores orphans (BASELINE.json: "a killed run resumes from the
+  * last committed snapshot with per-partition lineage and fetch/dedup
+  * counters"). Commits are idempotent per version (exactly-once sink, ST4).
+  *
+  * The API is deliberately thin (read/commit/currentVersion) so a real Iceberg
+  * catalog could replace it without touching any operator.
+  */
+object StateTable {
+
+  final case class Manifest(
+      version: Long,
+      round: Long,
+      nRows: Long,
+      counters: Map[String, Long],
+      parent: Long)
+
+  private def logDir(dir: String): Path = Paths.get(dir, "_log")
+  private def currentFile(dir: String): Path = logDir(dir).resolve("CURRENT")
+  def snapPath(dir: String, v: Long): String = s"$dir/snap-$v"
+
+  def currentVersion(dir: String): Option[Long] = {
+    val f = currentFile(dir)
+    if (Files.exists(f)) Some(Files.readString(f).trim.toLong) else None
+  }
+
+  def manifest(dir: String, v: Long): Option[Manifest] = {
+    val f = logDir(dir).resolve(s"$v.json")
+    if (!Files.exists(f)) None else Some(parseManifest(Files.readString(f)))
+  }
+
+  private def hasDataFiles(path: String): Boolean = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return false
+    val stream = Files.walk(p)
+    try stream.iterator.asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+    finally stream.close()
+  }
+
+  private def readPaths(
+      spark: SparkSession,
+      paths: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    val withData = paths.filter(hasDataFiles)
+    if (withData.isEmpty) {
+      val s = schema.getOrElse(throw new IllegalStateException(
+        "empty snapshot and no schema provided"))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    } else {
+      // each snapshot is its own partition-discovery root (manifest-style);
+      // multiple roots under one read would conflict on layout inference
+      withData.map { p =>
+        val r = schema.map(spark.read.schema).getOrElse(spark.read)
+        val df = r.parquet(p)
+        // restore declared column order (partitionBy moves partition cols last)
+        schema.map(s => df.select(s.fieldNames.map(df.col).toIndexedSeq: _*)).getOrElse(df)
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  /** Read snapshot `version` (or the CURRENT one). Fails if none committed. */
+  def read(
+      spark: SparkSession,
+      dir: String,
+      version: Option[Long] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val v = version.orElse(currentVersion(dir))
+      .getOrElse(throw new IllegalStateException(s"no committed snapshot in $dir"))
+    readPaths(spark, Seq(snapPath(dir, v)), schema)
+  }
+
+  /** Read an APPEND-mode table at `version`: the union of all committed
+    * deltas ≤ version (Iceberg-style append commits — the seen set and the
+    * fetch log never rewrite history; a round only adds its delta).
+    */
+  def readAppended(
+      spark: SparkSession,
+      dir: String,
+      version: Option[Long] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val v = version.orElse(currentVersion(dir))
+      .getOrElse(throw new IllegalStateException(s"no committed snapshot in $dir"))
+    val vs = versions(dir).filter(_ <= v)
+    require(vs.nonEmpty, s"no committed snapshot ≤ $v in $dir")
+    readPaths(spark, vs.map(snapPath(dir, _)), schema)
+  }
+
+  /** Append-mode commit: snap-<v> holds ONLY this version's delta. */
+  def commitAppend(
+      delta: DataFrame,
+      dir: String,
+      version: Long,
+      round: Long,
+      counters: Map[String, Long] = Map.empty): Manifest =
+    commit(delta, dir, version, round, counters)
+
+  /** Commit `df` as snapshot `version`. Partitioned by host_bucket when the
+    * column is present (directory-level pruning — SURVEY.md §4.2). Idempotent:
+    * an already-logged version is a no-op.
+    */
+  def commit(
+      df: DataFrame,
+      dir: String,
+      version: Long,
+      round: Long,
+      counters: Map[String, Long] = Map.empty): Manifest = {
+    Files.createDirectories(logDir(dir))
+    val logged = logDir(dir).resolve(s"$version.json")
+    if (Files.exists(logged)) return parseManifest(Files.readString(logged))
+
+    val path = snapPath(dir, version)
+    val writer =
+      if (df.columns.contains("host_bucket")) df.write.partitionBy("host_bucket")
+      else df.write
+    writer.mode("overwrite").parquet(path)
+    // footer-only count; an all-empty snapshot writes no parquet files
+    val nRows = if (hasDataFiles(path)) df.sparkSession.read.parquet(path).count() else 0L
+
+    val m = Manifest(version, round, nRows, counters, version - 1)
+    Files.writeString(logged, renderManifest(m), StandardCharsets.UTF_8,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    val tmp = logDir(dir).resolve(s"CURRENT.tmp.$version")
+    Files.writeString(tmp, version.toString, StandardCharsets.UTF_8,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, currentFile(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    m
+  }
+
+  /** All committed versions, ascending (time-travel surface). */
+  def versions(dir: String): Seq[Long] = {
+    val d = logDir(dir)
+    if (!Files.exists(d)) Seq.empty
+    else {
+      val stream = Files.list(d)
+      try stream.iterator.asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".json"))
+        .map(_.stripSuffix(".json").toLong)
+        .toSeq.sorted
+      finally stream.close()
+    }
+  }
+
+  // --- minimal JSON (flat manifests only; no external json lib on classpath) ---
+
+  private def renderManifest(m: Manifest): String = {
+    val cs = m.counters.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    s"""{"version":${m.version},"round":${m.round},"n_rows":${m.nRows},"parent":${m.parent},"counters":$cs}"""
+  }
+
+  private[sources] def parseManifest(s: String): Manifest = {
+    def num(key: String): Long = {
+      val p = ("\"" + key + "\":").r.pattern
+      val mtch = p.matcher(s)
+      if (!mtch.find()) 0L
+      else {
+        var i = mtch.end
+        val sb = new StringBuilder
+        while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '-')) { sb.append(s.charAt(i)); i += 1 }
+        sb.toString.toLong
+      }
+    }
+    val counters: Map[String, Long] = {
+      val start = s.indexOf("\"counters\":{")
+      if (start < 0) Map.empty
+      else {
+        val body = s.substring(start + 12, s.indexOf('}', start))
+        if (body.trim.isEmpty) Map.empty
+        else body.split(",").iterator.map { kv =>
+          val Array(k, v) = kv.split(":", 2)
+          k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
+        }.toMap
+      }
+    }
+    Manifest(num("version"), num("round"), num("n_rows"), counters, num("parent"))
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.CrawlConfig
+import graft.plans.{Crawler, CrawlRound, Resume}
+import graft.sources.{StateTable, SyntheticWeb}
+
+/** End-to-end crawl on the deterministic synthetic web (SURVEY.md §3, §5). */
+class CrawlSpec extends AnyFunSuite with SparkTestSession {
+
+  val web = SyntheticWeb.WebConfig(seed = 42L, nPages = 1000, nHosts = 40)
+  val cfg = CrawlConfig(buckets = 16, roundBudget = 100, maxDepth = 10)
+  lazy val pages = SyntheticWeb.pages(spark, web).toDF().cache()
+  lazy val robots = SyntheticWeb.robotsTable(spark, web)
+  lazy val seeds = SyntheticWeb.seeds(web, 10)
+
+  def runCrawl(rounds: Int): (String, Seq[CrawlRound.RoundCounters]) = {
+    val dir = tmpDir("crawl")
+    val cs = Crawler.crawl(spark, dir, pages, robots, seeds, cfg, rounds)
+    (dir, cs)
+  }
+
+  test("ten-round crawl expands the frontier and dedups") {
+    val (dir, counters) = runCrawl(10)
+    assert(counters.length == 10)
+    assert(counters.head.admitted > 0, "round 1 admits seeds")
+    assert(counters.map(_.fetched200).sum > 0, "some pages fetch")
+    assert(counters.map(_.newUrls).sum > 0, "frontier grows")
+    assert(counters.exists(_.dedupDropped > 0), "dedup is load-bearing")
+    val frontier = Crawler.orderedFrontier(spark, dir).collect()
+    assert(frontier.nonEmpty)
+    // frontier never contains a previously admitted URL: disjoint from fetch_log
+    val fetched = StateTable.readAppended(spark, CrawlRound.fetchLogDir(dir))
+    val overlap = StateTable.read(spark, CrawlRound.frontierDir(dir))
+      .join(fetched, Seq("surt"), "inner").count()
+    assert(overlap == 0, "fetched URLs must leave the frontier")
+  }
+
+  test("URL-seen membership is exact: seen = seeds ∪ all discovered, no dupes") {
+    val (dir, _) = runCrawl(6)
+    val seen = StateTable.readAppended(spark, CrawlRound.seenDir(dir))
+    assert(seen.count() == seen.select("surt").distinct().count(), "no duplicate seen entries")
+    // every frontier entry is seen
+    val f = StateTable.read(spark, CrawlRound.frontierDir(dir))
+    assert(f.join(seen, Seq("surt"), "left_anti").count() == 0)
+  }
+
+  test("politeness invariant (P5): per-host admissions within token budget") {
+    val (dir, _) = runCrawl(8)
+    val log = StateTable.readAppended(spark, CrawlRound.fetchLogDir(dir))
+    val perHostRound = log.groupBy("host", "round").count()
+    // burst cap: no host exceeds floor(burst)=2 admissions in any round
+    val over = perHostRound.where(col("count") > math.floor(cfg.burstTokens).toLong).count()
+    assert(over == 0, "token bucket burst cap violated")
+    // long-run rate: admissions over 8 rounds ≤ initial + burst + 8/delay_min
+    val totals = log.groupBy("host").count()
+    val maxAllowed = cfg.burstTokens + 8 / 0.5 + 1
+    assert(totals.where(col("count") > maxAllowed).count() == 0)
+  }
+
+  test("robots are honored: no /d3/ fetch on a disallowing host") {
+    val (dir, _) = runCrawl(8)
+    val log = StateTable.readAppended(spark, CrawlRound.fetchLogDir(dir))
+    val disallowedHosts = (0 until web.nHosts).filter(_ % 5 == 0).map(SyntheticWeb.hostName)
+    val bad = log.where(col("host").isin(disallowedHosts: _*) && col("url").contains("/d3/"))
+    assert(bad.count() == 0)
+  }
+
+  test("determinism (P7 proxy): identical frontier at different shuffle widths") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    val (d1, c1) = runCrawl(5)
+    spark.conf.set("spark.sql.shuffle.partitions", "13")
+    val (d2, c2) = runCrawl(5)
+    spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert(c1 == c2, "per-round counters must match")
+    val f1 = Crawler.orderedFrontier(spark, d1).select("surt", "depth", "score").collect().toSeq
+    val f2 = Crawler.orderedFrontier(spark, d2).select("surt", "depth", "score").collect().toSeq
+    assert(f1 == f2, "O1 total order must be parallelism-independent")
+  }
+
+  test("resume (P6): state after kill ≡ uninterrupted run") {
+    // uninterrupted 6 rounds
+    val (dFull, cFull) = runCrawl(6)
+    // interrupted: 3 rounds, then resume to 6
+    val dPart = tmpDir("crawl")
+    Crawler.crawl(spark, dPart, pages, robots, seeds, cfg, 3)
+    assert(Resume.lastCompleteVersion(dPart).contains(3L))
+    val cResumed = Crawler.crawl(spark, dPart, pages, robots, seeds, cfg, 6)
+    assert(cResumed.map(_.round) == Seq(4L, 5L, 6L))
+    val a = Crawler.orderedFrontier(spark, dFull).select("surt", "depth", "score").collect().toSeq
+    val b = Crawler.orderedFrontier(spark, dPart).select("surt", "depth", "score").collect().toSeq
+    assert(a == b, "resumed crawl must converge to identical frontier")
+    val seenA = StateTable.readAppended(spark, CrawlRound.seenDir(dFull)).select("surt")
+    val seenB = StateTable.readAppended(spark, CrawlRound.seenDir(dPart)).select("surt")
+    assert(seenA.except(seenB).count() == 0 && seenB.except(seenA).count() == 0)
+  }
+
+  test("bloom fast path never loses URLs (P4 at system level)") {
+    // run with bloom disabled semantics: all candidates through exact anti-join
+    // equivalence is implied by determinism + exactness tests; here check the
+    // sidecars exist and probe true for every seen entry
+    val (dir, _) = runCrawl(4)
+    val v = StateTable.currentVersion(CrawlRound.seenDir(dir)).get
+    val blooms = graft.operators.SeenStore.readAll(CrawlRound.seenDir(dir), v)
+    assert(blooms.nonEmpty)
+    val seen = StateTable.readAppended(spark, CrawlRound.seenDir(dir))
+      .select("host_bucket", "url_hash").collect()
+    seen.foreach { r =>
+      val bf = blooms(r.getInt(0))
+      assert(graft.functions.Bloom64.mightContain(bf, r.getLong(1)))
+    }
+  }
+}
