@@ -50,6 +50,17 @@ object CrawlRound {
     "surt", "url", "host", "host_bucket", "url_hash",
     "depth", "score", "discovered_round", "parent_surt")
 
+  /** `[SPEC-O1]` ordering key for the score: OPIC cash quantized to 1e-9 via
+    * round-half-even, so the total order is immune to ulp-level differences
+    * in double summation order across parallelism levels. All ordering
+    * (W1 per-host rank, O1 total order, O2 top-K) uses this key; the stored
+    * score column keeps full precision.
+    */
+  def scoreKey(score: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    bround(score * lit(1e9), 0).cast("long")
+
+  def scoreKeyOf(score: Double): Long = math.rint(score * 1e9).toLong
+
   def frontierDir(stateDir: String) = s"$stateDir/frontier"
   def hostStateDir(stateDir: String) = s"$stateDir/host_state"
   def seenDir(stateDir: String) = s"$stateDir/url_seen"
@@ -87,11 +98,11 @@ object CrawlRound {
           (lit(round) - coalesce(col("last_round"), lit(round - 1))) / col("delay")))
 
     val wHost = Window.partitionBy("host")
-      .orderBy(col("depth").asc, col("score").desc, col("surt").asc)
+      .orderBy(col("depth").asc, scoreKey(col("score")).desc, col("surt").asc)
     val admitted = withTokens
       .withColumn("rn", row_number().over(wHost))
       .where(col("rn") <= floor(col("tokens_refilled")))
-      .orderBy(col("depth").asc, col("score").desc, col("surt").asc)
+      .orderBy(col("depth").asc, scoreKey(col("score")).desc, col("surt").asc)
       .limit(cfg.roundBudget)
       .persist(StorageLevel.MEMORY_AND_DISK)
 

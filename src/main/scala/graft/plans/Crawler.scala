@@ -103,8 +103,10 @@ object Crawler {
     }
   }
 
-  /** The O1 total frontier order at a version — the determinism linchpin. */
+  /** The O1 total frontier order at a version — the determinism linchpin
+    * (`surt` is unique ⇒ no ties ⇒ identical output at any parallelism).
+    */
   def orderedFrontier(spark: SparkSession, stateDir: String, version: Option[Long] = None): DataFrame =
     StateTable.read(spark, CrawlRound.frontierDir(stateDir), version, Some(Schemas.frontier))
-      .orderBy(col("depth").asc, col("score").desc, col("surt").asc)
+      .orderBy(col("depth").asc, CrawlRound.scoreKey(col("score")).desc, col("surt").asc)
 }
