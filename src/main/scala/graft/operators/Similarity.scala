@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bloom64
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — a single scan + TakeOrderedAndProject
+  * (no shuffle of the full table, no cross-join; the query vector is a
+  * literal). Scale path: random-hyperplane LSH bucketing so candidate
+  * generation is an equi-join on bucket keys; IVF-style coarse quantization
+  * via the same bucket column (probe only matching buckets).
+  */
+object Similarity {
+
+  /** Cosine similarity of two float vectors (deterministic, null-safe). */
+  val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) => {
+    if (a == null || b == null || a.isEmpty || a.length != b.length) 0.0
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+  })
+
+  /** Dot product as a pure Catalyst higher-order-function column (codegen'd
+    * path for the hot loop — no UDF): aggregate(zip_with(a,b,*), 0d, +).
+    */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Random-hyperplane LSH bucket: sign bits of `planes` fixed pseudo-random
+    * hyperplanes (deterministic from plane index and dimension — no stored
+    * model). Cosine-similar vectors collide with high probability.
+    */
+  val lshBucketUdf = udf((v: Seq[Float], planes: Int) => {
+    if (v == null) 0L
+    else {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        var dot = 0.0
+        var i = 0
+        while (i < v.length) {
+          // deterministic pseudo-gaussian-ish weight in [-1,1)
+          val h = Bloom64.mix(p.toLong * 1000003L + i)
+          dot += v(i) * ((h >>> 11).toDouble / (1L << 52).toDouble - 1.0)
+          i += 1
+        }
+        if (dot > 0) bucket |= (1L << p)
+        p += 1
+      }
+      bucket
+    }
+  })
+
+  /** Brute-force cosine top-k against a literal query vector. */
+  def bruteForceTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val q = typedLit(query)
+    emb.select(
+        col(idCol),
+        round(cosineUdf(col(vecCol), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** LSH-accelerated ANN top-k: probe only the query's bucket (+ optional
+    * multi-probe neighbors at hamming distance 1), then rank exactly within
+    * candidates. At 100 TB this turns a full scan into a partition-pruned
+    * bucket read when the table is written partitioned/bucketed by `bucket`.
+    */
+  def lshTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, planes: Int = 8, multiProbe: Boolean = true): DataFrame = {
+    val bucketed = emb.withColumn("bucket", lshBucketUdf(col(vecCol), lit(planes)))
+    val qBucketRow = bucketed.sparkSession.range(1).select(
+      lshBucketUdf(typedLit(query), lit(planes)).as("qb")).head()
+    val qb = qBucketRow.getLong(0)
+    val probes: Seq[Long] =
+      if (!multiProbe) Seq(qb)
+      else qb +: (0 until planes).map(p => qb ^ (1L << p))
+    bucketed.where(col("bucket").isin(probes: _*))
+      .select(col(idCol), round(cosineUdf(col(vecCol), typedLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** IVF-style build: assign every vector its bucket (the "coarse centroid"
+    * id); callers persist partitioned by bucket for pruned probes.
+    */
+  def ivfIndex(emb: DataFrame, vecCol: String, planes: Int = 8): DataFrame =
+    emb.withColumn("bucket", lshBucketUdf(col(vecCol), lit(planes)))
+}
