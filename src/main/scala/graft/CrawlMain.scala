@@ -29,11 +29,31 @@ object CrawlMain {
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .appName("graft-crawl")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.locality.wait", "0")
+      .config("spark.sql.files.maxPartitionBytes", sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "16m"))
+      .config("spark.sql.codegen.wholeStage", sys.env.getOrElse("GRAFT_CODEGEN", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("GRAFT_TIMING").contains("2")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val ms = (for { s <- i.submissionTime; c <- i.completionTime } yield c - s).getOrElse(-1L)
+          System.err.println(f"[stage ${i.stageId}%4d] ${ms}%6dms tasks=${i.numTasks}%4d ${i.name.take(90)}")
+        }
+        private var lastJobEnd = 0L
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val gap = if (lastJobEnd == 0) 0 else j.time - lastJobEnd
+          System.err.println(f"[job ${j.jobId}%4d start] gap=${gap}%6dms")
+        }
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          lastJobEnd = j.time
+        }
+      })
+    }
 
     val web = SyntheticWeb.WebConfig(seed = 42L, nPages = nPages, nHosts = nHosts)
     val pages = SyntheticWeb.pages(spark, web).toDF().cache()

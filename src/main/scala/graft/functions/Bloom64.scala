@@ -22,19 +22,27 @@ object Bloom64 {
     z ^ (z >>> 31)
   }
 
+  /** Fixed probe count: near-optimal for fpp 1e-3 at the sized load factor.
+    * Keeping k constant makes differently-aged filters merge-compatible
+    * whenever their m matches.
+    */
+  val K = 7
+
+  /** Bits sized for (expected, fpp), rounded UP to a power of two — so the
+    * shape is stable across rounds until a genuine doubling is needed, and
+    * incremental delta-merge (OR) stays possible (SURVEY.md D2).
+    */
   def optimalBits(expected: Long, fpp: Double): Long = {
     val m = math.ceil(-expected * math.log(fpp) / (math.log(2) * math.log(2))).toLong
-    math.max(64L, (m + 63) / 64 * 64)
+    java.lang.Long.highestOneBit(math.max(64L, m) * 2 - 1)
   }
 
-  def optimalK(m: Long, expected: Long): Int =
-    math.max(1, math.round(m.toDouble / math.max(1L, expected) * math.log(2)).toInt)
+  def empty(expected: Long, fpp: Double): Array[Long] = emptyBits(optimalBits(expected, fpp))
 
-  def empty(expected: Long, fpp: Double): Array[Long] = {
-    val m = optimalBits(expected, fpp)
+  def emptyBits(m: Long): Array[Long] = {
     val arr = new Array[Long](2 + (m / 64).toInt)
     arr(0) = m
-    arr(1) = optimalK(m, expected).toLong
+    arr(1) = K.toLong
     arr
   }
 
@@ -79,11 +87,11 @@ object Bloom64 {
 }
 
 /** Typed UDAF building a Bloom64 from a column of Long keys (SURVEY.md A6). */
-class BloomAggregator(expected: Long, fpp: Double)
+class BloomAggregator(m: Long)
     extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Array[Long]] {
   import org.apache.spark.sql.Encoder
   import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-  override def zero: Array[Long] = Bloom64.empty(expected, fpp)
+  override def zero: Array[Long] = Bloom64.emptyBits(m)
   override def reduce(b: Array[Long], key: Long): Array[Long] = { Bloom64.put(b, key); b }
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = Bloom64.merge(a, b)
   override def finish(r: Array[Long]): Array[Long] = r

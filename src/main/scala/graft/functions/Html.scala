@@ -233,4 +233,14 @@ object Html {
 
   /** X1 over html bytes (UTF-8). */
   def extractLinks(html: Array[Byte]): Array[Link] = extractLinksFromString(decodeUtf8(html))
+
+  /** Fused page scan for the crawl hot path: one UTF-8 decode feeding both
+    * extractors (text and links are separate passes over the shared string).
+    */
+  final case class PageScan(links: Array[Link], text: String)
+
+  def scanPage(html: Array[Byte]): PageScan = {
+    val s = decodeUtf8(html)
+    PageScan(extractLinksFromString(s), extractTextFromString(s))
+  }
 }

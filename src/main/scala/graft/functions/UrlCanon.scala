@@ -226,6 +226,25 @@ object UrlCanon {
     if (p == null) null else regHost(p.host)
   }
 
+  /** All candidate-pipeline fields in one pass (hot path: one canonicalize +
+    * one parse instead of five — resolve/canon/host/path/surt fused).
+    */
+  final case class CanonParts(url: String, host: String, path: String, surt: String)
+
+  def canonParts(raw: String): CanonParts = {
+    val c = canonicalize(raw)
+    if (c == null) return null
+    val p = parse(c)
+    if (p == null) return null
+    val rh = regHost(p.host)
+    val sb = new java.lang.StringBuilder(c.length)
+    sb.append(hostReverse(rh))
+    if (p.port >= 0) sb.append(':').append(p.port)
+    sb.append(')').append(p.path)
+    if (p.query != null) sb.append('?').append(p.query)
+    CanonParts(c, rh, p.path, sb.toString)
+  }
+
   /** U6: RFC 3986 §5 relative-reference resolution of `ref` against absolute
     * `base`. Returns an absolute (not yet canonicalized) URL, or null if the
     * base is unusable. The result feeds canonicalize().

@@ -97,7 +97,12 @@ final case class CrawlConfig(
     maxPathLength: Int = 2048,
     bloomFpp: Double = 1e-3,
     hotHostThreshold: Long = 100000, // A5: candidate count above which a host is salted
-    saltFactor: Int = 8)
+    saltFactor: Int = 8,
+    // fetch-join strategy: admitted ≤ this → broadcast the admitted side
+    // (serial build, zero shuffle); above it → sort-merge join, which is
+    // shuffle-free on a pages corpus bucketed+sorted by url and fully
+    // parallel on the admitted side (the 10^10-scale path)
+    broadcastFetchMaxBudget: Int = 65536)
 
 object Schemas {
   val pages: StructType = StructType(Seq(

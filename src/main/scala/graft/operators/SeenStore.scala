@@ -56,9 +56,9 @@ object SeenStore {
       }.toMap
   }
 
-  /** Build per-bucket blooms over `url_hash` in ONE aggregation pass. */
-  def buildBlooms(df: DataFrame, expectedPerBucket: Long, cfg: CrawlConfig): Map[Int, Array[Long]] = {
-    val agg = udaf(new BloomAggregator(math.max(1024L, expectedPerBucket), cfg.bloomFpp))
+  /** Build per-bucket blooms over `url_hash` (shape m bits) in ONE pass. */
+  def buildBlooms(df: DataFrame, m: Long): Map[Int, Array[Long]] = {
+    val agg = udaf(new BloomAggregator(m))
     df.groupBy(col("host_bucket"))
       .agg(agg(col("url_hash")).as("bloom"))
       .collect()
@@ -66,8 +66,11 @@ object SeenStore {
       .toMap
   }
 
-  /** Incremental update: prev blooms OR delta blooms; shape-mismatched or
-    * saturated buckets are rebuilt at the next size from `fullSeen`.
+  /** Incremental update: build delta blooms AT THE PREVIOUS SHAPE and OR them
+    * in (one aggregation over the delta only — never a full-seen rescan in
+    * the steady state). A saturated or undersized generation triggers one
+    * amortized doubling rebuild from `fullSeen` (all buckets, next power of
+    * two) — the classic growable-bloom schedule.
     */
   def update(
       spark: SparkSession,
@@ -79,30 +82,31 @@ object SeenStore {
       expectedPerBucket: Long,
       cfg: CrawlConfig): Map[Int, Array[Long]] = {
     val prev = prevVersion.map(readAll(seenDir, _)).getOrElse(Map.empty)
-    val deltaBlooms = buildBlooms(delta, expectedPerBucket, cfg)
-    var needRebuild = List.empty[Int]
-    val merged = (prev.keySet ++ deltaBlooms.keySet).iterator.map { bucket =>
-      val m = (prev.get(bucket), deltaBlooms.get(bucket)) match {
-        case (Some(a), Some(b)) if a(0) == b(0) && a(1) == b(1) => Bloom64.merge(a.clone(), b)
-        case (Some(a), None) => a
-        case (None, Some(b)) => b
-        case (Some(_), Some(b)) => needRebuild ::= bucket; b // shape changed; rebuild below
-        case (None, None) => Bloom64.empty(1024, cfg.bloomFpp)
+    val wantM = Bloom64.optimalBits(math.max(1024L, expectedPerBucket), cfg.bloomFpp)
+    val prevM = prev.values.headOption.map(_(0)).getOrElse(0L)
+
+    val result =
+      if (prev.isEmpty) {
+        buildBlooms(delta, wantM)
+      } else if (wantM > prevM) {
+        // amortized doubling: rebuild everything at the larger shape
+        buildBlooms(fullSeen, math.max(wantM, prevM * 2))
+      } else {
+        val deltaBlooms = buildBlooms(delta, prevM)
+        val merged = (prev.keySet ++ deltaBlooms.keySet).iterator.map { bucket =>
+          bucket -> ((prev.get(bucket), deltaBlooms.get(bucket)) match {
+            case (Some(a), Some(b)) => Bloom64.merge(a.clone(), b)
+            case (Some(a), None) => a
+            case (None, Some(b)) => b
+            case (None, None) => Bloom64.emptyBits(prevM)
+          })
+        }.toMap
+        if (merged.values.exists(Bloom64.saturation(_) > 0.5))
+          buildBlooms(fullSeen, prevM * 2)
+        else merged
       }
-      bucket -> m
-    }.toMap
-    val saturated = merged.collect { case (b, bf) if Bloom64.saturation(bf) > 0.5 => b }
-    val toRebuild = (needRebuild ++ saturated).distinct
-    val rebuilt =
-      if (toRebuild.isEmpty) merged
-      else {
-        val bigger = buildBlooms(
-          fullSeen.where(col("host_bucket").isin(toRebuild: _*)),
-          expectedPerBucket * 4, cfg)
-        merged ++ bigger
-      }
-    write(seenDir, newVersion, rebuilt)
-    rebuilt
+    write(seenDir, newVersion, result)
+    result
   }
 
   /** Map-side probe column: true ⇒ maybe seen (must hit exact anti-join). */

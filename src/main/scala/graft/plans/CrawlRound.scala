@@ -83,42 +83,55 @@ object CrawlRound {
 
     val delayUdf = udf((host: String) =>
       robotsBc.value.get(host).map(_.crawlDelayRounds).getOrElse(cfg.defaultCrawlDelayRounds))
-    val allowUdf = udf((host: String, url: String) => {
-      val p = UrlCanon.parse(url)
-      p != null && robotsBc.value.get(host).forall(_.allows(p.path))
-    })
+    // robots decision over the pre-parsed path (no re-parse on the hot path)
+    val allowPathUdf = udf((host: String, path: String) =>
+      robotsBc.value.get(host).forall(_.allows(path)))
 
-    // ---- T1 token refill + W1/W2 politeness admission + O2 global budget ----
+    // ---- T1 token refill + W1/W2 politeness admission + O2 global budget.
+    // host_state is per-host (small) → broadcast; the frontier never shuffles
+    // for this join ----
     val withTokens = frontier
-      .join(hostState.select(col("host"), col("tokens"), col("last_round")), Seq("host"), "left")
+      .join(broadcast(hostState.select(col("host"), col("tokens"), col("last_round"))), Seq("host"), "left")
       .withColumn("delay", delayUdf(col("host")))
       .withColumn("tokens_refilled", least(
         lit(cfg.burstTokens),
         coalesce(col("tokens"), lit(cfg.initialTokens)) +
           (lit(round) - coalesce(col("last_round"), lit(round - 1))) / col("delay")))
 
+    // ordering key as a sortable struct so the admission boundary is a value:
+    // (depth ASC, scoreKey DESC, surt ASC) ≡ lexicographic (depth, -sk, surt)
     val wHost = Window.partitionBy("host")
       .orderBy(col("depth").asc, scoreKey(col("score")).desc, col("surt").asc)
-    val admitted = withTokens
+    val ranked = withTokens
       .withColumn("rn", row_number().over(wHost))
+      .withColumn("ord", struct(col("depth"), (-scoreKey(col("score"))).as("nsk"), col("surt")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val admitted = ranked
       .where(col("rn") <= floor(col("tokens_refilled")))
       .orderBy(col("depth").asc, scoreKey(col("score")).desc, col("surt").asc)
       .limit(cfg.roundBudget)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // ---- J2 fetch: the simulated web; only (url, html) of pages is read ----
-    val fetched = admitted
-      .select("surt", "url", "host", "host_bucket", "depth", "score")
-      .join(pages.select(col("url"), col("html")), Seq("url"), "left")
+    // ---- J2 fetch: the simulated web. The admitted side is ≤ K rows →
+    // BROADCAST it and stream `pages`, so the fat html column is never
+    // shuffled (right_outer preserves admitted rows for 404 detection).
+    // Only (url, html) of pages is read (column pruning).
+    // ONE fused scan UDF per page (single UTF-8 decode → links + text). ----
+    val admittedSlim = admitted.select("surt", "url", "host", "host_bucket", "depth", "score")
+    val fetchJoined =
+      if (cfg.roundBudget <= cfg.broadcastFetchMaxBudget)
+        pages.select(col("url"), col("html")).join(broadcast(admittedSlim), Seq("url"), "right_outer")
+      else // merge join: zero shuffle/sort on a url-bucketed+sorted corpus
+        pages.select(col("url"), col("html")).join(admittedSlim.hint("merge"), Seq("url"), "right_outer")
+    val fetched = fetchJoined
       .withColumn("status", when(col("html").isNull, lit(404)).otherwise(lit(200)))
-      .withColumn("links",
-        when(col("status") === 200, UrlFunctions.extractLinksUdf(col("html")))
-          .otherwise(array().cast("array<struct<href:string,anchor:string>>")))
+      .withColumn("scan", when(col("status") === 200, UrlFunctions.pageScanUdf(col("html"))))
+      .withColumn("links", coalesce(col("scan.links"),
+        array().cast("array<struct<href:string,anchor:string>>")))
       .withColumn("n_links", size(col("links")))
       .withColumn("text_xxh64",
-        when(col("status") === 200, xxhash64(UrlFunctions.extractTextUdf(col("html"))))
-          .otherwise(lit(0L)))
-      .drop("html")
+        when(col("status") === 200, xxhash64(col("scan.text"))).otherwise(lit(0L)))
+      .drop("html", "scan")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val fetchLog = fetched.select(
@@ -126,7 +139,8 @@ object CrawlRound {
       col("status"), col("n_links").cast("int").as("n_links"),
       col("text_xxh64"), spark_partition_id().as("partition_id"))
 
-    // ---- X1/U6/U2/U4 candidate generation + P1/P2 filters ----
+    // ---- X1/U6/U2/U4 candidate generation + P1/P2 filters.
+    // One fused UDF per link: resolve + canonicalize + host + path + surt ----
     val rawCand = fetched.where(col("status") === 200 && col("n_links") > 0)
       .select(
         col("surt").as("parent_surt"),
@@ -134,15 +148,15 @@ object CrawlRound {
         col("depth").as("parent_depth"),
         (col("score") / greatest(col("n_links"), lit(1))).as("contrib"),
         explode(col("links")).as("link"))
-      .withColumn("curl", UrlFunctions.canonUdf(
-        UrlFunctions.resolveUdf(col("base_url"), col("link").getField("href"))))
-      .where(col("curl").isNotNull &&
-        (col("curl").startsWith("http://") || col("curl").startsWith("https://")) &&
-        length(col("curl")) <= cfg.maxPathLength &&
+      .withColumn("cp", UrlFunctions.resolveCanonUdf(col("base_url"), col("link").getField("href")))
+      .where(col("cp").isNotNull &&
+        (col("cp.url").startsWith("http://") || col("cp.url").startsWith("https://")) &&
+        length(col("cp.url")) <= cfg.maxPathLength &&
         col("parent_depth") < cfg.maxDepth)
-      .withColumn("chost", UrlFunctions.hostOfUdf(col("curl")))
-      .where(allowUdf(col("chost"), col("curl")))
-      .withColumn("csurt", UrlFunctions.surtUdf(col("curl")))
+      .where(allowPathUdf(col("cp.host"), col("cp.path")))
+      .withColumn("curl", col("cp.url"))
+      .withColumn("chost", col("cp.host"))
+      .withColumn("csurt", col("cp.surt"))
 
     // ---- D1 in-batch dedup (deterministic min-struct, NOT dropDuplicates)
     //      + A3 OPIC cash accumulation, folded into the same shuffle ----
@@ -171,35 +185,59 @@ object CrawlRound {
     val maybeSeen = SeenStore.maybeSeenUdf(spark, blooms)
     val definitelyNew = cands.where(!maybeSeen(col("host_bucket"), col("url_hash")))
     val needExact = cands.where(maybeSeen(col("host_bucket"), col("url_hash")))
-    val resolvedNew = needExact.join(seen.select("surt"), Seq("surt"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the seen set is the big side: semi-reduce it with the (small,
+    // bloom-positive) probe set broadcast BOTH ways, so seen is only ever
+    // scanned (narrow surt column), never shuffled
+    val seenHits = seen.select("surt")
+      .join(broadcast(needExact.select("surt")), Seq("surt"), "left_semi")
+    val resolvedNew = needExact.join(broadcast(seenHits), Seq("surt"), "left_anti")
     val newEntries = definitelyNew.unionByName(resolvedNew)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // ---- O3 next frontier = (frontier − admitted) ∪ new ----
-    val carried = frontier.join(admitted.select("surt"), Seq("surt"), "left_anti")
+    // ---- O3 next frontier = (frontier − admitted) ∪ new. NO anti-join:
+    // admission is rank ≤ ⌊tokens⌋ AND ord ≤ the global-K boundary value
+    // (the max ordering tuple among admitted — a total order, surt unique),
+    // so carried falls out of the already-windowed, already-cached frontier.
+    val thRow = admitted.agg(max(col("ord"))).head()
+    val carried =
+      if (thRow.isNullAt(0)) ranked
+      else {
+        val th = thRow.getStruct(0)
+        val thLit = struct(
+          lit(th.getInt(0)).as("depth"),
+          lit(th.getLong(1)).as("nsk"),
+          lit(th.getString(2)).as("surt"))
+        ranked.where(!(col("rn") <= floor(col("tokens_refilled")) && col("ord") <= thLit))
+      }
     val nextFrontier = carried.select(frontierCols.map(col): _*)
       .unionByName(newEntries.select(frontierCols.map(col): _*))
 
-    // ---- counters (M1) ----
-    val nAdmitted = admitted.count()
-    val nFetched200 = fetched.where(col("status") === 200).count()
+    val timing = sys.env.contains("GRAFT_TIMING")
+    var tMark = System.nanoTime()
+    def mark(label: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      System.err.println(f"[round $round%3d] $label%-12s ${(now - tMark) / 1e9}%6.2fs")
+      tMark = now
+    }
+
+    // ---- counters (M1): one agg over the cached fetch (admitted rows are
+    // preserved by the fetch join since pages.url is unique), plus counts on
+    // the two cached frontiersides ----
+    val fs = fetched.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(when(col("status") === 200, 1L).otherwise(0L)), lit(0L)).as("n200")).head()
+    val nAdmitted = fs.getLong(0)
+    val nFetched200 = fs.getLong(1)
+    mark("fetch+scan")
     val nCands = cands.count()
+    mark("candidates")
     val nNew = newEntries.count()
+    mark("dedup")
     val counters = Map(
       "admitted" -> nAdmitted, "fetched200" -> nFetched200,
       "candidates" -> nCands, "new_urls" -> nNew,
       "dedup_dropped" -> (nCands - nNew))
-
-    // ---- S4 snapshot commits (ordered; resume takes min committed) ----
-    StateTable.commit(nextFrontier, frontierDir(stateDir), version, round, counters)
-
-    val newSeen = newEntries.select(
-      col("surt"), col("url_hash"), col("host_bucket"), lit(round).as("first_round"))
-    StateTable.commitAppend(newSeen, seenDir(stateDir), version, round, counters)
-    SeenStore.update(
-      spark, seenDir(stateDir), Some(prevV), version, newSeen,
-      StateTable.readAppended(spark, seenDir(stateDir), Some(version), Some(graft.model.Schemas.urlSeen)),
-      expectedPerBucket = math.max(1024L, (nNew * 8) / cfg.buckets + 1024L), cfg)
 
     // hosts with admissions: consume tokens, stamp last_round (lazy refill)
     val touched = admitted.groupBy(col("host")).agg(
@@ -213,16 +251,41 @@ object CrawlRound {
         col("delay").as("crawl_delay_rounds"),
         lit(round).as("last_round"))
     val hostCols = Seq("host", "host_bucket", "tokens", "crawl_delay_rounds", "last_round")
-    val nextHostState = hostState.join(touched.select("host"), Seq("host"), "left_anti")
+    val nextHostState = hostState.join(broadcast(touched.select("host")), Seq("host"), "left_anti")
       .select(hostCols.map(col): _*)
       .unionByName(touched.select(hostCols.map(col): _*))
-    StateTable.commit(nextHostState, hostStateDir(stateDir), version, round, counters)
 
-    StateTable.commitAppend(fetchLog, fetchLogDir(stateDir), version, round, counters)
+    val newSeen = newEntries.select(
+      col("surt"), col("url_hash"), col("host_bucket"), lit(round).as("first_round"))
 
+    // ---- S4 snapshot commits. The four tables commit CONCURRENTLY (every
+    // input is already cached, so no shared recompute); crash-consistency
+    // needs no ordering because Resume takes the MIN committed version across
+    // tables and reads every table at that explicit version (time travel) —
+    // a table whose CURRENT is ahead is simply read one snapshot back. ----
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val commits = Seq(
+      Future(StateTable.commit(nextFrontier, frontierDir(stateDir), version, round, counters)),
+      Future {
+        StateTable.commitAppend(newSeen, seenDir(stateDir), version, round, counters)
+        val totalSeen = StateTable.totalRows(seenDir(stateDir), prevV) + nNew
+        SeenStore.update(
+          spark, seenDir(stateDir), Some(prevV), version, newSeen,
+          StateTable.readAppended(spark, seenDir(stateDir), Some(version), Some(graft.model.Schemas.urlSeen)),
+          expectedPerBucket = totalSeen * 2 / cfg.buckets + 1024L, cfg)
+      },
+      Future(StateTable.commit(nextHostState, hostStateDir(stateDir), version, round, counters)),
+      Future(StateTable.commitAppend(fetchLog, fetchLogDir(stateDir), version, round, counters)))
+    Await.result(Future.sequence(commits), Duration.Inf)
+    mark("commits")
+
+    ranked.unpersist()
     admitted.unpersist()
     fetched.unpersist()
     cands.unpersist()
+    needExact.unpersist()
     newEntries.unpersist()
 
     RoundCounters(round, nAdmitted, nFetched200, nCands, nNew, nCands - nNew)

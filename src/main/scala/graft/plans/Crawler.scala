@@ -59,7 +59,7 @@ object SeedInjector {
       col("surt"), col("url_hash"), col("host_bucket"), lit(0L).as("first_round"))
     StateTable.commitAppend(seen0, CrawlRound.seenDir(stateDir), 0L, 0L, Map("seeds" -> n))
     SeenStore.update(spark, CrawlRound.seenDir(stateDir), None, 0L, seen0,
-      seen0, expectedPerBucket = math.max(1024L, n * 8 / cfg.buckets + 1024L), cfg)
+      seen0, expectedPerBucket = n * 2 / cfg.buckets + 1024L, cfg)
 
     val emptyHost = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.hostState)

@@ -60,6 +60,14 @@ object StateTable {
     finally stream.close()
   }
 
+  private def isPartitionedLayout(path: String): Boolean = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return false
+    val stream = Files.list(p)
+    try stream.iterator.asScala.exists(_.getFileName.toString.startsWith("host_bucket="))
+    finally stream.close()
+  }
+
   private def readPaths(
       spark: SparkSession,
       paths: Seq[String],
@@ -69,16 +77,41 @@ object StateTable {
       val s = schema.getOrElse(throw new IllegalStateException(
         "empty snapshot and no schema provided"))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-    } else {
-      // each snapshot is its own partition-discovery root (manifest-style);
-      // multiple roots under one read would conflict on layout inference
+    } else if (withData.exists(isPartitionedLayout) && withData.length > 1) {
+      // each partitioned snapshot is its own discovery root (manifest-style);
+      // multiple partitioned roots under one read conflict on layout inference
       withData.map { p =>
         val r = schema.map(spark.read.schema).getOrElse(spark.read)
         val df = r.parquet(p)
-        // restore declared column order (partitionBy moves partition cols last)
         schema.map(s => df.select(s.fieldNames.map(df.col).toIndexedSeq: _*)).getOrElse(df)
       }.reduce(_ unionByName _)
+    } else {
+      // flat layout (append-mode tables): ONE read over all snapshot dirs —
+      // a single listing/planning pass however many deltas have accumulated
+      val r = schema.map(spark.read.schema).getOrElse(spark.read)
+      val df = r.parquet(withData: _*)
+      schema.map(s => df.select(s.fieldNames.map(df.col).toIndexedSeq: _*)).getOrElse(df)
     }
+  }
+
+  /** Row count from parquet footers — driver-side, no Spark job. */
+  private def footerRowCount(path: String): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return 0L
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try n += reader.getRecordCount
+        finally reader.close()
+      }
+    }
+    n
   }
 
   /** Read snapshot `version` (or the CURRENT one). Fails if none committed. */
@@ -108,17 +141,20 @@ object StateTable {
     readPaths(spark, vs.map(snapPath(dir, _)), schema)
   }
 
-  /** Append-mode commit: snap-<v> holds ONLY this version's delta. */
+  /** Append-mode commit: snap-<v> holds ONLY this version's delta, written
+    * flat (no partition dirs) so the whole chain reads in a single pass.
+    */
   def commitAppend(
       delta: DataFrame,
       dir: String,
       version: Long,
       round: Long,
       counters: Map[String, Long] = Map.empty): Manifest =
-    commit(delta, dir, version, round, counters)
+    commit(delta, dir, version, round, counters, partitioned = false)
 
-  /** Commit `df` as snapshot `version`. Partitioned by host_bucket when the
-    * column is present (directory-level pruning — SURVEY.md §4.2). Idempotent:
+  /** Commit `df` as snapshot `version`. When `partitioned`, lays out by
+    * host_bucket (directory-level pruning — SURVEY.md §4.2); append-mode
+    * tables stay flat so any number of deltas reads in one pass. Idempotent:
     * an already-logged version is a no-op.
     */
   def commit(
@@ -126,18 +162,24 @@ object StateTable {
       dir: String,
       version: Long,
       round: Long,
-      counters: Map[String, Long] = Map.empty): Manifest = {
+      counters: Map[String, Long] = Map.empty,
+      partitioned: Boolean = true): Manifest = {
     Files.createDirectories(logDir(dir))
     val logged = logDir(dir).resolve(s"$version.json")
     if (Files.exists(logged)) return parseManifest(Files.readString(logged))
 
     val path = snapPath(dir, version)
+    // one writer task per bucket directory: without the repartition each of
+    // the N shuffle partitions opens a file in every bucket dir (N×B tiny
+    // files per snapshot — the classic partitionBy write amplification)
     val writer =
-      if (df.columns.contains("host_bucket")) df.write.partitionBy("host_bucket")
-      else df.write
+      if (partitioned && df.columns.contains("host_bucket"))
+        df.repartition(org.apache.spark.sql.functions.col("host_bucket"))
+          .write.partitionBy("host_bucket")
+      else df.coalesce(math.max(1, df.sparkSession.sparkContext.defaultParallelism / 4)).write
     writer.mode("overwrite").parquet(path)
-    // footer-only count; an all-empty snapshot writes no parquet files
-    val nRows = if (hasDataFiles(path)) df.sparkSession.read.parquet(path).count() else 0L
+    // driver-side footer count — no Spark job
+    val nRows = footerRowCount(path)
 
     val m = Manifest(version, round, nRows, counters, version - 1)
     Files.writeString(logged, renderManifest(m), StandardCharsets.UTF_8,
@@ -149,6 +191,12 @@ object StateTable {
       StandardCopyOption.REPLACE_EXISTING)
     m
   }
+
+  /** Total rows across the append chain ≤ version, from manifests (no IO
+    * beyond the _log dir — used for e.g. bloom sizing).
+    */
+  def totalRows(dir: String, version: Long): Long =
+    versions(dir).filter(_ <= version).flatMap(manifest(dir, _)).map(_.nRows).sum
 
   /** All committed versions, ascending (time-travel surface). */
   def versions(dir: String): Seq[Long] = {

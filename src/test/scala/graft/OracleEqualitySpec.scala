@@ -58,8 +58,10 @@ class OracleEqualitySpec extends AnyFunSuite with SparkTestSession {
   }
 
   // ---- full crawl equality under three frozen configs (FIXTURES.md §1.4) ----
-  def compareCrawl(seeds: Seq[String], budget: Int, rounds: Int, tag: String): Unit = {
-    val cfg = CrawlConfig(buckets = 16, roundBudget = budget, maxDepth = 10)
+  def compareCrawl(seeds: Seq[String], budget: Int, rounds: Int, tag: String,
+      broadcastFetchMaxBudget: Int = 65536): Unit = {
+    val cfg = CrawlConfig(buckets = 16, roundBudget = budget, maxDepth = 10,
+      broadcastFetchMaxBudget = broadcastFetchMaxBudget)
     val dir = tmpDir(s"oracle-$tag")
     Crawler.crawl(spark, dir, pagesDf, robotsDf, seeds, cfg, rounds)
     val ocfg = OracleCrawler.Cfg(budget = budget, maxDepth = 10)
@@ -113,6 +115,11 @@ class OracleEqualitySpec extends AnyFunSuite with SparkTestSession {
       "http://h0.example/d3/blocked.html", // h0 disallows /d3/
       SyntheticWeb.pageUrl(web, 42L))
     compareCrawl(seeds, budget = 15, rounds = 8, tag = "c2")
+  }
+
+  test("crawl equality — config 4: merge-join fetch path (no broadcast), K=40, 4 rounds") {
+    compareCrawl(SyntheticWeb.seeds(web, 10), budget = 40, rounds = 4, tag = "c4",
+      broadcastFetchMaxBudget = 0)
   }
 
   test("crawl equality — config 3: 25 seeds with dupes + messy forms, K=60, 5 rounds") {
