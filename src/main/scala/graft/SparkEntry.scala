@@ -379,6 +379,27 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // ---- J5: hot-key salted join (output ≡ plain join; salt is internal) ----
+    "q_j5_salted_join" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
+      val sup = s.read.parquet(t(dir, "supplier"))
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      graft.operators.SkewJoin.saltedJoin(li, sup, key = "l_suppkey",
+          rowId = "l_orderkey", salt = 4, hotFactor = 1.0)
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "s_name")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- U8: builtin url_encode/url_decode round-trip self-check ----
+    "q_u8_url_codec" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          url_encode(col("source")).as("enc"),
+          (url_decode(url_encode(col("source"))) === col("source")).as("roundtrip_ok"))
+        .orderBy("doc_id")
+    }),
+
     // ---- the crawl engine distilled as a query ----
     "q_crawl_expand" -> ((s, dir) => entry(s)))
 
@@ -466,6 +487,11 @@ object SparkEntry {
       SELECT l_suppkey, n FROM c
       WHERE n > (SELECT avg(n) FROM c) * 1.05
       ORDER BY l_suppkey"""),
+
+    "q_j5_salted_join" -> ("""
+      SELECT l_orderkey, l_linenumber, l_suppkey, s_name
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      ORDER BY l_orderkey, l_linenumber"""),
 
     "q_o2_topk" -> ("""
       SELECT o_orderkey, o_totalprice FROM orders

@@ -90,8 +90,13 @@ object CrawlRound {
     // ---- T1 token refill + W1/W2 politeness admission + O2 global budget.
     // host_state is per-host (small) → broadcast; the frontier never shuffles
     // for this join ----
+    val hostStateSlim = hostState.select(col("host"), col("tokens"), col("last_round"))
     val withTokens = frontier
-      .join(broadcast(hostState.select(col("host"), col("tokens"), col("last_round"))), Seq("host"), "left")
+      .join(
+        if (StateTable.manifest(hostStateDir(stateDir), prevV).forall(_.nRows <= 65536))
+          broadcast(hostStateSlim)
+        else hostStateSlim, // many hosts → shuffle join (both sides parallel)
+        Seq("host"), "left")
       .withColumn("delay", delayUdf(col("host")))
       .withColumn("tokens_refilled", least(
         lit(cfg.burstTokens),
@@ -106,10 +111,17 @@ object CrawlRound {
       .withColumn("rn", row_number().over(wHost))
       .withColumn("ord", struct(col("depth"), (-scoreKey(col("score"))).as("nsk"), col("surt")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val admitted = ranked
-      .where(col("rn") <= floor(col("tokens_refilled")))
-      .orderBy(col("depth").asc, scoreKey(col("score")).desc, col("surt").asc)
-      .limit(cfg.roundBudget)
+    val admitCand = ranked.where(col("rn") <= floor(col("tokens_refilled")))
+    // In the politeness-bound regime (token admissions ≤ K, the steady state)
+    // the global budget never binds — skip the top-K entirely, avoiding its
+    // single-task merge of numPartitions × K rows. Only a budget-bound round
+    // pays for the exact global order-limit.
+    val nAdmitCand = admitCand.count()
+    val budgetBound = nAdmitCand > cfg.roundBudget
+    val admitted = (if (!budgetBound) admitCand
+      else admitCand
+        .orderBy(col("depth").asc, scoreKey(col("score")).desc, col("surt").asc)
+        .limit(cfg.roundBudget))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- J2 fetch: the simulated web. The admitted side is ≤ K rows →
@@ -199,16 +211,19 @@ object CrawlRound {
     // admission is rank ≤ ⌊tokens⌋ AND ord ≤ the global-K boundary value
     // (the max ordering tuple among admitted — a total order, surt unique),
     // so carried falls out of the already-windowed, already-cached frontier.
-    val thRow = admitted.agg(max(col("ord"))).head()
     val carried =
-      if (thRow.isNullAt(0)) ranked
+      if (!budgetBound) ranked.where(!(col("rn") <= floor(col("tokens_refilled"))))
       else {
-        val th = thRow.getStruct(0)
-        val thLit = struct(
-          lit(th.getInt(0)).as("depth"),
-          lit(th.getLong(1)).as("nsk"),
-          lit(th.getString(2)).as("surt"))
-        ranked.where(!(col("rn") <= floor(col("tokens_refilled")) && col("ord") <= thLit))
+        val thRow = admitted.agg(max(col("ord"))).head()
+        if (thRow.isNullAt(0)) ranked
+        else {
+          val th = thRow.getStruct(0)
+          val thLit = struct(
+            lit(th.getInt(0)).as("depth"),
+            lit(th.getLong(1)).as("nsk"),
+            lit(th.getString(2)).as("surt"))
+          ranked.where(!(col("rn") <= floor(col("tokens_refilled")) && col("ord") <= thLit))
+        }
       }
     val nextFrontier = carried.select(frontierCols.map(col): _*)
       .unionByName(newEntries.select(frontierCols.map(col): _*))

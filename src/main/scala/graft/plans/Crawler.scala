@@ -103,6 +103,48 @@ object Crawler {
     }
   }
 
+  /** One frontier-expansion dataflow as a SINGLE declarative plan, no state
+    * IO: rank per host → admit → fetch join → extract → resolve+canon+SURT →
+    * in-batch dedup + OPIC. Used by the scaling bench to measure the engine's
+    * pure dataflow (what a cluster actually parallelizes) separately from
+    * snapshot-commit orchestration.
+    */
+  def expandOnce(
+      spark: SparkSession,
+      frontier: DataFrame,
+      pages: DataFrame,
+      robotsBc: org.apache.spark.broadcast.Broadcast[Map[String, RobotsPolicy]],
+      cfg: CrawlConfig,
+      perHostCap: Int = 1000000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val allowPathUdf = udf((host: String, path: String) =>
+      robotsBc.value.get(host).forall(_.allows(path)))
+    val wHost = Window.partitionBy("host")
+      .orderBy(col("depth").asc, CrawlRound.scoreKey(col("score")).desc, col("surt").asc)
+    val admitted = frontier
+      .withColumn("rn", row_number().over(wHost))
+      .where(col("rn") <= perHostCap)
+      .select("surt", "url", "host", "host_bucket", "depth", "score")
+    pages.select(col("url"), col("html"))
+      .join(admitted.hint("merge"), Seq("url"), "right_outer")
+      .where(col("html").isNotNull)
+      .select(
+        col("surt").as("parent_surt"), col("url").as("base_url"),
+        col("depth").as("parent_depth"), col("score"),
+        UrlFunctions.pageScanUdf(col("html")).as("scan"))
+      .select(col("parent_surt"), col("base_url"), col("parent_depth"),
+        (col("score") / greatest(size(col("scan.links")), lit(1))).as("contrib"),
+        explode(col("scan.links")).as("link"))
+      .withColumn("cp", UrlFunctions.resolveCanonUdf(col("base_url"), col("link").getField("href")))
+      .where(col("cp").isNotNull && col("cp.url").startsWith("http") &&
+        allowPathUdf(col("cp.host"), col("cp.path")))
+      .groupBy(col("cp.surt").as("surt"))
+      .agg(
+        min(struct(col("parent_depth").as("pd"), col("parent_surt").as("ps"),
+          col("cp.url").as("u"), col("cp.host").as("h"))).as("f"),
+        sum(col("contrib")).as("score"))
+  }
+
   /** The O1 total frontier order at a version — the determinism linchpin
     * (`surt` is unique ⇒ no ties ⇒ identical output at any parallelism).
     */

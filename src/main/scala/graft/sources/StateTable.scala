@@ -101,17 +101,20 @@ object StateTable {
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return 0L
     val it = fs.listFiles(p, true)
-    var n = 0L
+    val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
     while (it.hasNext) {
       val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) {
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
-        try n += reader.getRecordCount
-        finally reader.close()
-      }
+      if (f.getPath.getName.endsWith(".parquet")) files += f
     }
-    n
+    // footer reads in parallel — 64-bucket snapshots would otherwise cost
+    // ~10ms × files of serial driver time per commit
+    import scala.collection.parallel.CollectionConverters._
+    files.par.map { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+      try reader.getRecordCount
+      finally reader.close()
+    }.sum
   }
 
   /** Read snapshot `version` (or the CURRENT one). Fails if none committed. */
@@ -176,7 +179,7 @@ object StateTable {
       if (partitioned && df.columns.contains("host_bucket"))
         df.repartition(org.apache.spark.sql.functions.col("host_bucket"))
           .write.partitionBy("host_bucket")
-      else df.coalesce(math.max(1, df.sparkSession.sparkContext.defaultParallelism / 4)).write
+      else df.write // flat deltas keep upstream parallelism (writes scale)
     writer.mode("overwrite").parquet(path)
     // driver-side footer count — no Spark job
     val nRows = footerRowCount(path)

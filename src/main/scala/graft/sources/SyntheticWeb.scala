@@ -34,7 +34,12 @@ object SyntheticWeb {
   /** Uniform double in [0,1) from a hash. */
   private def unit(x: Long): Double = (x >>> 11).toDouble / (1L << 53).toDouble
 
-  final case class WebConfig(seed: Long = 42L, nPages: Long = 1000L, nHosts: Int = 40)
+  /** `density` scales page weight: words per paragraph block and outlinks
+    * multiply by it (density 1 ≈ 1.3 KB html; 8 ≈ 10 KB — closer to the
+    * Common-Crawl average the contract targets).
+    */
+  final case class WebConfig(
+      seed: Long = 42L, nPages: Long = 1000L, nHosts: Int = 40, density: Int = 1)
 
   /** Host index per page via a power-skewed pick (Zipf-ish: host 0 is hot). */
   def hostIndex(cfg: WebConfig, pageId: Long): Int = {
@@ -69,7 +74,8 @@ object SyntheticWeb {
 
   /** Raw hrefs of a page, in document order (before canonicalization). */
   def rawLinks(cfg: WebConfig, pageId: Long): Seq[String] = {
-    val n = 1 + ((h(cfg.seed, pageId, 3L) & Long.MaxValue) % 19).toInt
+    val n = (1 + ((h(cfg.seed, pageId, 3L) & Long.MaxValue) % 19).toInt) *
+      (if (cfg.density > 4) 2 else 1)
     val myHost = hostIndex(cfg, pageId)
     (0 until n).map { j =>
       val r = h(cfg.seed, pageId, 100L + j)
@@ -106,8 +112,9 @@ object SyntheticWeb {
   /** Render the page markup: title + paragraphs + link list + decoy blocks. */
   def renderHtml(cfg: WebConfig, pageId: Long): String = {
     val title = words(cfg, pageId, 4000L, 4)
-    val para1 = words(cfg, pageId, 5000L, 12 + ((h(cfg.seed, pageId, 5L) & Long.MaxValue) % 30).toInt)
-    val para2 = words(cfg, pageId, 6000L, 8)
+    val para1 = words(cfg, pageId, 5000L,
+      (12 + ((h(cfg.seed, pageId, 5L) & Long.MaxValue) % 30).toInt) * cfg.density)
+    val para2 = words(cfg, pageId, 6000L, 8 * cfg.density)
     val links = rawLinks(cfg, pageId)
     val sb = new java.lang.StringBuilder(1024)
     sb.append("<html><head><title>").append(title).append("</title>")
