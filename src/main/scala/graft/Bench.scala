@@ -40,6 +40,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.locality.wait", "0")
       .config("spark.sql.files.maxPartitionBytes", sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "16m"))
+      // sound here: the corpus is written with exactly one file per bucket,
+      // so the sorted-bucket scan ordering elides the SMJ sort on pages
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -156,7 +159,10 @@ object Bench {
       Files.createDirectories(corpusBase)
       val corpus = Files.createTempDirectory(corpusBase, "graft-bench-corpus").toString
       val sGen = session(32)
+      // one file per bucket so the bucketed scan reports sorted output and
+      // the fetch SMJ needs neither exchange nor sort on the pages side
       try SyntheticWeb.pages(sGen, web).toDF()
+        .repartition(64, org.apache.spark.sql.functions.col("url"))
         .write.bucketBy(64, "url").sortBy("url")
         .option("path", s"$corpus/pages_bucketed")
         .mode("overwrite")

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY.md §4): filters reach the parquet scan,
+  * projection is pruned, small sides broadcast, the bucketed fetch join
+  * needs no exchange/sort on the pages side, and hot paths stay inside
+  * whole-stage codegen.
+  */
+class PlanSpec extends AnyFunSuite with SparkTestSession {
+
+  private def sparkPlan(df: DataFrame): String = df.queryExecution.sparkPlan.toString
+  private def executed(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes
+    df.queryExecution.executedPlan.toString
+  }
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("S1 scan: predicate pushdown + column pruning reach the parquet scan") {
+    val df = SparkEntry.queries("q_s1_scan_prune")(spark, sf)
+    val plan = sparkPlan(df)
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThan(n_chars,200"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("EqualTo(lang,en)"), "lang filter not pushed")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text"),
+      s"projection not pruned to needed columns: $readSchema")
+  }
+
+  test("J2 join chain: dimensions are broadcast") {
+    val plan = sparkPlan(SparkEntry.queries("q_j2_join_agg")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "dimension join fell back to SMJ")
+  }
+
+  test("A1 aggregation: two-phase hash aggregate (map-side partials)") {
+    val plan = sparkPlan(SparkEntry.queries("q_a1_agg")(spark, sf))
+    assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
+    assert(plan.split("HashAggregate").length >= 3, "missing partial aggregation phase")
+  }
+
+  test("O2 top-k: TakeOrderedAndProject, not a global sort") {
+    val plan = sparkPlan(SparkEntry.queries("q_o2_topk")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k plans a full sort:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipelines") {
+    val plan = executed(SparkEntry.queries("q_s1_scan_prune")(spark, sf))
+    // codegen'd operators carry the "*(n)" stage marker in the plan string
+    assert(plan.contains("*(1)"), s"no whole-stage-codegen spans:\n$plan")
+  }
+
+  test("bucketed fetch join: no exchange and no sort on the pages side") {
+    import spark.implicits._
+    val dir = tmpDir("bucketed")
+    val pages = graft.sources.SyntheticWeb.pages(
+      spark, graft.sources.SyntheticWeb.WebConfig(nPages = 500, nHosts = 10)).toDF()
+    // one file per bucket (repartition on the bucket hash) — required for the
+    // scan to report sorted output and elide the SMJ sort
+    pages.repartition(8, col("url"))
+      .write.bucketBy(8, "url").sortBy("url")
+      .option("path", s"$dir/pages_b").mode("overwrite").saveAsTable("plan_spec_pages")
+    try {
+      // off by default since 3.0; sound when each bucket has exactly one file
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val bucketed = spark.table("plan_spec_pages")
+      val admitted = pages.limit(50).select(col("url"), lit(0).as("depth"))
+      val joined = bucketed.select(col("url"), col("html"))
+        .join(admitted.hint("merge"), Seq("url"), "right_outer")
+      val plan = executed(joined)
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"pages scan is not bucketed:\n$plan")
+      // the SMJ's LEFT subtree (pages; lines prefixed ':') must contain the
+      // bucketed FileScan and NO sort/exchange — bucketing + sorted buckets
+      // satisfy the join requirements directly
+      val leftLines = plan.linesIterator.filter(_.trim.startsWith(":")).toSeq
+      assert(leftLines.exists(_.contains("FileScan")), s"no pages scan in left subtree:\n$plan")
+      assert(!leftLines.exists(l =>
+        l.contains("Sort ") || l.contains("Exchange") || l.contains("ShuffleQueryStage")),
+        s"pages side re-sorts or re-shuffles:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS plan_spec_pages")
+  }
+
+  test("frontier read restores declared column order and prunes buckets") {
+    import spark.implicits._
+    val dir = tmpDir("prune")
+    val df = Seq(("a)/x", "http://a/x", "a", 3, 1L, 0, 1.0, 0L, ""),
+        ("b)/y", "http://b/y", "b", 5, 2L, 0, 1.0, 0L, ""))
+      .toDF(graft.plans.CrawlRound.frontierCols: _*)
+    graft.sources.StateTable.commit(df, dir, 0L, 0L)
+    val back = graft.sources.StateTable.read(spark, dir, None, Some(graft.model.Schemas.frontier))
+      .where(col("host_bucket") === 3)
+    val plan = executed(back)
+    assert(back.columns.toSeq == graft.plans.CrawlRound.frontierCols)
+    assert(plan.contains("host_bucket=3") || plan.contains("PartitionFilters"),
+      s"bucket partition not pruned:\n$plan")
+  }
+}
