@@ -301,6 +301,20 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- map functions (§2.12; transform_keys has no DuckDB analogue) ----
+    "q_map_fns" -> ((s, dir) => {
+      s.read.parquet(t(dir, "events"))
+        .withColumn("m", map_from_entries(array(
+          struct(lit("type").as("k"), col("event_type").as("v")),
+          struct(lit("uid").as("k"), col("user_id").cast("string").as("v")))))
+        .withColumn("m2", transform_keys(col("m"), (k, _) => upper(k)))
+        .select(col("event_id"),
+          element_at(col("m"), "type").as("evt_type"),
+          element_at(col("m2"), "UID").as("uid_str"),
+          map_keys(col("m2")).as("keys"))
+        .orderBy("event_id")
+    }),
+
     // ---- sessionization (streaming-surface semantics in batch) ----
     "q_session_window" -> ((s, dir) => {
       s.read.parquet(t(dir, "events"))
