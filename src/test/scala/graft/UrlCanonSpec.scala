@@ -149,4 +149,36 @@ class UrlCanonSpec extends AnyFunSuite with SeededProps {
     val r = UrlCanon.resolve("http://a/b/", "mailto:x@y.z")
     assert(UrlCanon.canonicalize(r) == null)
   }
+
+  test("P2 property: surt is injective on canon output within an http corpus") {
+    val web = graft.sources.SyntheticWeb.WebConfig(seed = 42L, nPages = 500, nHosts = 20)
+    val urls = (0L until 500L).flatMap { id =>
+      val base = graft.sources.SyntheticWeb.pageUrl(web, id)
+      base +: graft.sources.SyntheticWeb.rawLinks(web, id)
+        .flatMap(h => Option(UrlCanon.resolve(base, h)))
+    }
+    val canonToSurt = urls
+      .flatMap(u => Option(UrlCanon.canonicalize(u)))
+      .distinct
+      .map(c => c -> UrlCanon.surt(c))
+    // same surt ⇒ same canon URL (all-http corpus, so the scheme fold is moot)
+    val bySurt = canonToSurt.groupBy(_._2)
+    bySurt.foreach { case (surt, group) =>
+      assert(group.map(_._1).distinct.size == 1, s"surt collision: $surt ← ${group.map(_._1)}")
+    }
+    assert(canonToSurt.size > 500, "corpus too small to be meaningful")
+  }
+
+  test("P3 property: fused canonParts agrees with the individual functions") {
+    forAll(org.scalacheck.Gen.oneOf(
+      (0L until 200L).map(graft.sources.SyntheticWeb.pageUrl(
+        graft.sources.SyntheticWeb.WebConfig(seed = 42L, nPages = 200, nHosts = 12), _))), n = 100) { u =>
+      val cp = UrlCanon.canonParts(u)
+      assert(cp != null)
+      assert(cp.url == UrlCanon.canonicalize(u))
+      assert(cp.surt == UrlCanon.surt(u))
+      assert(cp.host == UrlCanon.hostOf(cp.url))
+      assert(cp.path == UrlCanon.parse(cp.url).path)
+    }
+  }
 }
