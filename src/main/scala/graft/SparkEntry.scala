@@ -179,7 +179,7 @@ object SparkEntry {
 
     // ---- A5: hot-key detection (the salting trigger) ----
     "q_a5_hotkeys" -> ((s, dir) => {
-      // scale-invariant skew detector: keys above 1.2× the mean frequency
+      // scale-invariant skew detector: keys above 1.05× the mean frequency
       val li = s.read.parquet(t(dir, "lineitem"))
       val counts = li.groupBy("l_suppkey").agg(count(lit(1)).cast("long").as("n"))
       val mean = counts.agg(avg(col("n"))).head().getDouble(0)
@@ -301,7 +301,9 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
-    // ---- map functions (§2.12; transform_keys has no DuckDB analogue) ----
+    // ---- map functions (§2.12). Every output column is SCALAR (keys joined
+    // to one string): the driver's compare pipeline sorts column values and
+    // cannot hash array cells. ----
     "q_map_fns" -> ((s, dir) => {
       s.read.parquet(t(dir, "events"))
         .withColumn("m", map_from_entries(array(
@@ -311,7 +313,7 @@ object SparkEntry {
         .select(col("event_id"),
           element_at(col("m"), "type").as("evt_type"),
           element_at(col("m2"), "UID").as("uid_str"),
-          map_keys(col("m2")).as("keys"))
+          concat_ws(",", map_keys(col("m2"))).as("keys"))
         .orderBy("event_id")
     }),
 
@@ -554,6 +556,15 @@ object SparkEntry {
 
     "q_json_extract" -> ("""
       SELECT event_id, cast(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events ORDER BY event_id"""),
+
+    // semantics oracle for the map pipeline: map_from_entries keeps entry
+    // order and transform_keys preserves it, so the expected key list is the
+    // literal TYPE,UID and the element_at lookups are the source columns
+    "q_map_fns" -> ("""
+      SELECT event_id, event_type AS evt_type,
+             cast(user_id AS VARCHAR) AS uid_str,
+             'TYPE,UID' AS keys
       FROM events ORDER BY event_id"""),
 
     "q_array_fns" -> ("""

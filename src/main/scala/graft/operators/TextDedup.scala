@@ -81,26 +81,40 @@ object TextDedup {
 
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     *
-    * Pipeline (one shuffle per stage, no cross-join):
-    * shingle → minhash(m) → explode b band keys → self-join on
-    * (band_idx, band_hash) with a<b → distinct pairs → verify jaccard ≥ t.
+    * Scale shape: the heavy candidate-generation shuffle carries ONLY
+    * (id, band_idx, band_hash) rows — never the shingle arrays. Candidate
+    * pairs are generated inside each band bucket (groupBy band key →
+    * sorted id list → ordered pairs via pure Catalyst array functions, no
+    * self-join), deduplicated across bands, and only then are the two
+    * shingle sets re-attached by id for the exact-Jaccard verify. The two
+    * attach joins have the (small) pair set on one side, so the document
+    * table is scanned, not shuffled.
     */
   def minhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, m: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
     val rows = m / bands
-    val banded = docs.select(
-        col(idCol).as("id"),
-        shinglesUdf(col(textCol), lit(k)).as("sh"))
-      .withColumn("sig", minhashUdf(col("sh"), lit(m)))
-      .select(col("id"), col("sh"),
-        posexplode(bandsUdf(col("sig"), lit(bands), lit(rows))).as(Seq("band_idx", "band_hash")))
-    val l = banded.select(col("id").as("a"), col("sh").as("sha"), col("band_idx"), col("band_hash"))
-    val r = banded.select(col("id").as("b"), col("sh").as("shb"), col("band_idx"), col("band_hash"))
-    l.join(r, Seq("band_idx", "band_hash"))
-      .where(col("a") < col("b"))
-      .select("a", "b", "sha", "shb").distinct()
+    val sigs = docs.select(
+      col(idCol).as("id"), shinglesUdf(col(textCol), lit(k)).as("sh"))
+    val banded = sigs
+      .select(col("id"),
+        posexplode(bandsUdf(minhashUdf(col("sh"), lit(m)), lit(bands), lit(rows)))
+          .as(Seq("band_idx", "band_hash")))
+    // each ordered pair (a < b) within a bucket, generated once per bucket:
+    // flatten(transform(ids, (x,i) -> pairs of x with every later id))
+    val pairs = banded
+      .groupBy("band_idx", "band_hash")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sigs.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
       .withColumn("jaccard", round(jaccardUdf(col("sha"), col("shb")), 6))
       .where(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
@@ -127,19 +141,34 @@ object TextDedup {
 
   val hammingUdf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
 
-  /** SimHash near-dup pairs: 4×16-bit band bucketing (any pair within
-    * hamming distance ≤ maxDist shares ≥1 exact band by pigeonhole when
-    * maxDist < 4), verified by exact hamming distance.
+  /** Contiguous bit slices covering all 64 bits in `maxDist + 1` bands:
+    * a pair at hamming distance d ≤ maxDist differs in at most d bands, so by
+    * pigeonhole at least one of the d+1 bands matches exactly — recall over
+    * the banded equi-join is 1.0 for the requested distance.
+    * Returns (startBit, width) per band; widths differ by at most 1.
     */
-  def simhashPairs(
-      docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
-    val withSim = docs.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sim"))
+  private[graft] def simhashBands(maxDist: Int): Seq[(Int, Int)] = {
+    val n = maxDist + 1
+    require(n >= 1 && n <= 64, s"maxDist must be in [0, 63], got $maxDist")
+    val base = 64 / n
+    val rem = 64 % n
+    val widths = Seq.fill(rem)(base + 1) ++ Seq.fill(n - rem)(base)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** SimHash near-dup pairs over a (id, sim) frame: band bucketing with
+    * maxDist+1 bands (exact recall by pigeonhole — see [[simhashBands]]),
+    * verified by exact hamming distance.
+    */
+  def simhashPairsFromSims(withSim: DataFrame, maxDist: Int): DataFrame = {
+    val bands = simhashBands(maxDist)
     val banded = withSim.select(
       col("id"), col("sim"),
-      explode(array((0 until 4).map(b =>
+      explode(array(bands.zipWithIndex.map { case ((start, width), b) =>
+        val mask = if (width == 64) -1L else (1L << width) - 1L
         struct(lit(b).as("band_idx"),
-          (shiftrightunsigned(col("sim"), b * 16) bitwiseAND lit(0xFFFFL)).as("band_val"))): _*)).as("bd"))
+          (shiftrightunsigned(col("sim"), start) bitwiseAND lit(mask)).as("band_val"))
+      }: _*)).as("bd"))
       .select(col("id"), col("sim"), col("bd.band_idx"), col("bd.band_val"))
     val l = banded.select(col("id").as("a"), col("sim").as("sima"), col("band_idx"), col("band_val"))
     val r = banded.select(col("id").as("b"), col("sim").as("simb"), col("band_idx"), col("band_val"))
@@ -150,6 +179,15 @@ object TextDedup {
       .where(col("hamming") <= maxDist)
       .select("a", "b", "hamming")
   }
+
+  /** SimHash near-dup pairs: exact-recall banding for the requested
+    * `maxDist`, verified by exact hamming distance.
+    */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame =
+    simhashPairsFromSims(
+      docs.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sim")), maxDist)
 
   /** Embedding-cosine near-dup pairs via Similarity's LSH buckets. */
   def embeddingPairs(

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextDedup
+
+/** Dedup-family correctness: simhash banding recall is EXACT for the
+  * requested hamming distance (the round-1 verdict's recall hole), and the
+  * shuffle-dieted minhash pipeline produces the same pairs as a plain
+  * band self-join reference.
+  */
+class DedupSpec extends AnyFunSuite with SparkTestSession {
+
+  test("simhashBands: maxDist+1 disjoint slices covering all 64 bits") {
+    for (d <- Seq(0, 1, 3, 7, 10, 31, 63)) {
+      val bands = TextDedup.simhashBands(d)
+      assert(bands.length == d + 1)
+      assert(bands.map(_._2).sum == 64)
+      assert(bands.map(_._2).max - bands.map(_._2).min <= 1)
+      // contiguous, disjoint coverage
+      assert(bands.scanLeft(0)((acc, b) => acc + b._2).init == bands.map(_._1))
+    }
+  }
+
+  test("simhash pairs: exhaustive recall — every pair within maxDist found") {
+    import spark.implicits._
+    // clustered values: a few base points plus perturbations at controlled
+    // hamming distances, so pairs exist at every distance 0..12
+    val rnd = new scala.util.Random(7)
+    val bases = Seq.fill(6)(rnd.nextLong())
+    val sims = bases.zipWithIndex.flatMap { case (b, bi) =>
+      (0 to 12).map { d =>
+        var v = b
+        val flips = rnd.shuffle((0 until 64).toList).take(d)
+        flips.foreach(bit => v ^= (1L << bit))
+        (bi * 100L + d, v)
+      }
+    }
+    val df = sims.toDF("id", "sim")
+    for (maxDist <- Seq(3, 10)) {
+      val got = TextDedup.simhashPairsFromSims(df, maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (ia, sa) <- sims; (ib, sb) <- sims
+        if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb)
+        if h <= maxDist
+      } yield (ia, ib, h)).toSet
+      assert(got == want,
+        s"maxDist=$maxDist missed ${(want -- got).size} pairs, extra ${(got -- want).size}")
+    }
+  }
+
+  test("minhash pairs: shuffle-dieted pipeline equals band self-join reference") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (k, m, bands, threshold) = (3, 64, 16, 0.3)
+    val got = TextDedup.minhashPairs(docs, "doc_id", "text", k, m, bands, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // reference: the naive self-join over band keys carrying shingles through
+    val rows = m / bands
+    val banded = docs.select(
+        col("doc_id").as("id"), TextDedup.shinglesUdf(col("text"), lit(k)).as("sh"))
+      .withColumn("sig", TextDedup.minhashUdf(col("sh"), lit(m)))
+      .select(col("id"), col("sh"),
+        posexplode(TextDedup.bandsUdf(col("sig"), lit(bands), lit(rows)))
+          .as(Seq("band_idx", "band_hash")))
+    val l = banded.select(col("id").as("a"), col("sh").as("sha"), col("band_idx"), col("band_hash"))
+    val r = banded.select(col("id").as("b"), col("sh").as("shb"), col("band_idx"), col("band_hash"))
+    val want = l.join(r, Seq("band_idx", "band_hash"))
+      .where(col("a") < col("b"))
+      .select("a", "b", "sha", "shb").distinct()
+      .withColumn("jaccard", round(TextDedup.jaccardUdf(col("sha"), col("shb")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(got == want, s"diff: missing=${(want -- got).size} extra=${(got -- want).size}")
+    assert(got.nonEmpty, "trivially-empty comparison")
+  }
+}
