@@ -102,7 +102,12 @@ final case class CrawlConfig(
     // (serial build, zero shuffle); above it → sort-merge join, which is
     // shuffle-free on a pages corpus bucketed+sorted by url and fully
     // parallel on the admitted side (the 10^10-scale path)
-    broadcastFetchMaxBudget: Int = 65536)
+    broadcastFetchMaxBudget: Int = 65536,
+    // D3 strategy gate: when the previous round produced more candidates
+    // than this, the bloom-positive probe set is too large to broadcast —
+    // the exact anti-join falls back to a distributed shuffle join instead
+    // of collecting millions of surts through the driver
+    exactAntiBroadcastMaxRows: Long = 2000000L)
 
 object Schemas {
   val pages: StructType = StructType(Seq(

@@ -1,10 +1,11 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Bloom64, BloomAggregator}
@@ -13,64 +14,143 @@ import graft.model.CrawlConfig
 /** URL-seen bloom sidecars — SURVEY.md D2/A6, the DRUM-inspired fast path.
   *
   * One Bloom64 per host_bucket, persisted as little-endian longs at
-  * `<seenDir>/_bloom/<version>/bucket-<k>.bloom`, built incrementally: each
-  * commit ORs the previous version's filter with a filter of only the NEW
-  * entries (one aggregation pass over the delta, map-side partials — no
-  * full-seen rescan per round). A bucket whose saturation exceeds 0.5 is
-  * rebuilt at double size from the full seen set (rare; logged in the name).
+  * `<seenDir>/_bloom/<version>/bucket-<k>.bloom`. Built and written FROM THE
+  * EXECUTORS: the per-bucket aggregation's result rows (bucket, bits) are
+  * merged with the previous version's file and written directly by the task
+  * that holds them — the filter arrays never round-trip through the driver
+  * (at 10^10 URLs / fpp 1e-3 that would be ~GBs of driver traffic per round).
+  * Only per-bucket saturation scalars are collected, to gate the amortized
+  * doubling rebuild.
+  *
+  * Version resolution is per bucket: a delta commit only rewrites the buckets
+  * its delta touched, so the authoritative filter for bucket B at version v
+  * is the NEWEST `bucket-B.bloom` at any version ≤ v (each file is the OR of
+  * all deltas ≤ its version for that bucket; a bucket untouched since then
+  * gained no entries). No copy-forward, no full-directory rewrite.
+  *
+  * Crash consistency: sidecars are written BETWEEN the seen delta's data
+  * write and the snapshot's manifest/CURRENT publish (StateTable.writeSnap /
+  * finalizeCommit), so a committed seen version always has complete sidecars.
+  * The probe is additionally fail-safe: if no bloom chain exists at all for
+  * the probed version (legacy state, deleted sidecars), it returns TRUE —
+  * "maybe seen" — routing every candidate to the exact anti-join rather than
+  * re-admitting seen URLs.
   *
   * Probe semantics: mightContain=false ⇒ definitely unseen (admit without
   * touching the exact set); true ⇒ maybe seen ⇒ resolved by the exact
   * anti-join (D3). Membership therefore stays exact while the anti-join's
   * probe side shrinks to (new ∪ false-positives) — the property P4 test pins
   * "no false negatives".
+  *
+  * Paths use java.nio against the shared state directory — the same explicit
+  * substitution as StateTable (`[SPEC-S2]`): on a real cluster this is a
+  * shared filesystem / object store behind the same thin API.
   */
 object SeenStore {
 
-  private def bloomDir(seenDir: String, v: Long) = Paths.get(seenDir, "_bloom", v.toString)
+  private def bloomDir(seenDir: String, v: Long): Path = Paths.get(seenDir, "_bloom", v.toString)
+  private def bucketFile(seenDir: String, v: Long, bucket: Int): Path =
+    bloomDir(seenDir, v).resolve(s"bucket-$bucket.bloom")
 
-  def write(seenDir: String, v: Long, blooms: Map[Int, Array[Long]]): Unit = {
-    val dir = bloomDir(seenDir, v)
-    Files.createDirectories(dir)
-    blooms.foreach { case (bucket, bf) =>
-      val bb = java.nio.ByteBuffer.allocate(bf.length * 8)
-      bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bf.foreach(bb.putLong)
-      Files.write(dir.resolve(s"bucket-$bucket.bloom"), bb.array())
+  /** Committed bloom versions, ascending (a version dir with a meta file). */
+  private[graft] def bloomVersions(seenDir: String): Seq[Long] = {
+    val root = Paths.get(seenDir, "_bloom")
+    if (!Files.exists(root)) return Seq.empty
+    val s = Files.list(root)
+    try s.iterator.asScala
+      .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("meta")))
+      .map(_.getFileName.toString.toLong).toSeq.sorted
+    finally s.close()
+  }
+
+  /** Bit shape m recorded for the newest bloom version ≤ v (None = no chain). */
+  private[graft] def latestBits(seenDir: String, v: Long): Option[Long] =
+    bloomVersions(seenDir).filter(_ <= v).lastOption.map { bv =>
+      Files.readString(bloomDir(seenDir, bv).resolve("meta")).trim.toLong
+    }
+
+  private def writeBucket(seenDir: String, v: Long, bucket: Int, bf: Array[Long]): Unit = {
+    val bb = java.nio.ByteBuffer.allocate(bf.length * 8)
+    bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bf.foreach(bb.putLong)
+    val target = bucketFile(seenDir, v, bucket)
+    val tmp = target.resolveSibling(s"${target.getFileName}.tmp")
+    Files.write(tmp, bb.array())
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readBucketAt(seenDir: String, v: Long, bucket: Int): Option[Array[Long]] = {
+    val p = bucketFile(seenDir, v, bucket)
+    if (!Files.exists(p)) None
+    else {
+      val bytes = Files.readAllBytes(p)
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val arr = new Array[Long](bytes.length / 8)
+      var i = 0
+      while (i < arr.length) { arr(i) = bb.getLong(); i += 1 }
+      Some(arr)
     }
   }
 
+  /** Newest filter for `bucket` at any version ≤ v (per-bucket resolution). */
+  private[graft] def resolveBucket(seenDir: String, v: Long, bucket: Int): Option[Array[Long]] = {
+    val vs = bloomVersions(seenDir).filter(_ <= v).reverse
+    vs.iterator.flatMap(readBucketAt(seenDir, _, bucket)).nextOption()
+  }
+
+  /** All buckets resolved at version v — DRIVER-side; tests/tools only, never
+    * on the round path.
+    */
   def readAll(seenDir: String, v: Long): Map[Int, Array[Long]] = {
-    val dir = bloomDir(seenDir, v)
-    if (!Files.exists(dir)) return Map.empty
-    Files.list(dir).iterator.asScala
-      .filter(_.getFileName.toString.endsWith(".bloom"))
-      .map { p =>
-        val bucket = p.getFileName.toString.stripPrefix("bucket-").stripSuffix(".bloom").toInt
-        val bytes = Files.readAllBytes(p)
-        val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        val arr = new Array[Long](bytes.length / 8)
-        var i = 0
-        while (i < arr.length) { arr(i) = bb.getLong(); i += 1 }
-        bucket -> arr
-      }.toMap
+    val vs = bloomVersions(seenDir).filter(_ <= v)
+    if (vs.isEmpty) return Map.empty
+    val buckets = vs.flatMap { bv =>
+      val s = Files.list(bloomDir(seenDir, bv))
+      try s.iterator.asScala.map(_.getFileName.toString).toSeq
+      finally s.close()
+    }.filter(_.endsWith(".bloom"))
+      .map(_.stripPrefix("bucket-").stripSuffix(".bloom").toInt).distinct
+    buckets.flatMap(b => resolveBucket(seenDir, v, b).map(b -> _)).toMap
   }
 
-  /** Build per-bucket blooms over `url_hash` (shape m bits) in ONE pass. */
-  def buildBlooms(df: DataFrame, m: Long): Map[Int, Array[Long]] = {
+  /** Build per-bucket filters of `df` (shape m) and write them from the
+    * executors, optionally OR-merging each with its newest predecessor file
+    * (≤ mergeUpTo). Returns the max post-merge saturation (tiny collect of
+    * one double per bucket — the filters themselves stay on the executors).
+    */
+  private def buildWrite(
+      df: DataFrame,
+      m: Long,
+      seenDir: String,
+      newVersion: Long,
+      mergeUpTo: Option[Long]): Double = {
+    Files.createDirectories(bloomDir(seenDir, newVersion))
     val agg = udaf(new BloomAggregator(m))
-    df.groupBy(col("host_bucket"))
-      .agg(agg(col("url_hash")).as("bloom"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
-      .toMap
+    val perBucket = df.groupBy(col("host_bucket")).agg(agg(col("url_hash")).as("bloom"))
+    // per-partition imperative sink (the one legitimate RDD drop-down): each
+    // task writes the handful of bucket files its partition holds
+    val sats = perBucket.rdd.mapPartitions { it =>
+      it.map { row =>
+        val bucket = row.getInt(0)
+        val bits = row.getSeq[Long](1).toArray
+        val merged = mergeUpTo.flatMap(resolveBucket(seenDir, _, bucket)) match {
+          case Some(prev) => Bloom64.merge(bits, prev)
+          case None => bits
+        }
+        writeBucket(seenDir, newVersion, bucket, merged)
+        Bloom64.saturation(merged)
+      }
+    }.collect()
+    if (sats.isEmpty) 0.0 else sats.max
   }
 
-  /** Incremental update: build delta blooms AT THE PREVIOUS SHAPE and OR them
-    * in (one aggregation over the delta only — never a full-seen rescan in
-    * the steady state). A saturated or undersized generation triggers one
-    * amortized doubling rebuild from `fullSeen` (all buckets, next power of
-    * two) — the classic growable-bloom schedule.
+  /** Incremental update: build delta filters AT THE PREVIOUS SHAPE and OR
+    * them into the per-bucket chain (one aggregation over the delta only —
+    * never a full-seen rescan in the steady state). A missing chain (first
+    * commit, or a legacy/crashed sidecar) and an undersized or saturated
+    * generation trigger one amortized rebuild from `fullSeen` at the next
+    * power-of-two shape. The version's meta marker is written LAST — a
+    * version without meta is invisible to resolution and re-built on replay.
     */
   def update(
       spark: SparkSession,
@@ -80,42 +160,78 @@ object SeenStore {
       delta: DataFrame,
       fullSeen: => DataFrame,
       expectedPerBucket: Long,
-      cfg: CrawlConfig): Map[Int, Array[Long]] = {
-    val prev = prevVersion.map(readAll(seenDir, _)).getOrElse(Map.empty)
+      cfg: CrawlConfig): Unit = {
     val wantM = Bloom64.optimalBits(math.max(1024L, expectedPerBucket), cfg.bloomFpp)
-    val prevM = prev.values.headOption.map(_(0)).getOrElse(0L)
-
-    val result =
-      if (prev.isEmpty) {
-        buildBlooms(delta, wantM)
-      } else if (wantM > prevM) {
-        // amortized doubling: rebuild everything at the larger shape
-        buildBlooms(fullSeen, math.max(wantM, prevM * 2))
-      } else {
-        val deltaBlooms = buildBlooms(delta, prevM)
-        val merged = (prev.keySet ++ deltaBlooms.keySet).iterator.map { bucket =>
-          bucket -> ((prev.get(bucket), deltaBlooms.get(bucket)) match {
-            case (Some(a), Some(b)) => Bloom64.merge(a.clone(), b)
-            case (Some(a), None) => a
-            case (None, Some(b)) => b
-            case (None, None) => Bloom64.emptyBits(prevM)
-          })
-        }.toMap
-        if (merged.values.exists(Bloom64.saturation(_) > 0.5))
-          buildBlooms(fullSeen, prevM * 2)
-        else merged
-      }
-    write(seenDir, newVersion, result)
-    result
+    val prevM = prevVersion.flatMap(latestBits(seenDir, _))
+    val m = prevM match {
+      case None =>
+        // no usable chain: rebuild from the FULL seen set (delta alone would
+        // under-cover when prior seen versions exist — fail-safe rebuild)
+        val mm = wantM
+        buildWrite(fullSeen, mm, seenDir, newVersion, mergeUpTo = None)
+        mm
+      case Some(pm) if wantM > pm =>
+        val mm = math.max(wantM, pm * 2)
+        buildWrite(fullSeen, mm, seenDir, newVersion, mergeUpTo = None)
+        mm
+      case Some(pm) =>
+        val sat = buildWrite(delta, pm, seenDir, newVersion, mergeUpTo = prevVersion)
+        if (sat > 0.5) {
+          val mm = pm * 2
+          buildWrite(fullSeen, mm, seenDir, newVersion, mergeUpTo = None)
+          mm
+        } else pm
+    }
+    Files.writeString(bloomDir(seenDir, newVersion).resolve("meta"), m.toString)
   }
 
-  /** Map-side probe column: true ⇒ maybe seen (must hit exact anti-join). */
-  def maybeSeenUdf(spark: SparkSession, blooms: Map[Int, Array[Long]]) = {
-    val bc = spark.sparkContext.broadcast(blooms)
-    udf((bucket: Int, urlHash: Long) =>
-      bc.value.get(bucket) match {
-        case Some(bf) => Bloom64.mightContain(bf, urlHash)
-        case None => false
-      })
+  /** Map-side probe column: true ⇒ maybe seen (must hit exact anti-join).
+    * Loads only the probed bucket's filter, lazily, on the executor that
+    * needs it (cached per JVM) — nothing is broadcast from the driver.
+    */
+  def maybeSeenUdf(seenDir: String, version: Long): UserDefinedFunction =
+    udf((bucket: Int, urlHash: Long) => BloomProbe.maybeSeen(seenDir, version, bucket, urlHash))
+}
+
+/** Executor-local cache of resolved bucket filters. Entries are keyed by
+  * (dir, version, bucket); inserting a newer version evicts older versions of
+  * the same bucket so steady-state memory is one filter per locally-probed
+  * bucket. Thread-safe; loads of the same key may race benignly (same bytes).
+  */
+private[graft] object BloomProbe {
+
+  private final case class Key(dir: String, version: Long, bucket: Int)
+  // value: Array[Long] = filter; FailSafe = no chain (treat as maybe-seen);
+  // Empty = chain exists, bucket has no entries (definitely unseen)
+  private object FailSafe
+  private object Empty
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Key, AnyRef]()
+
+  def maybeSeen(seenDir: String, version: Long, bucket: Int, urlHash: Long): Boolean = {
+    val key = Key(seenDir, version, bucket)
+    var v = cache.get(key)
+    if (v == null) {
+      v = load(seenDir, version, bucket)
+      cache.put(key, v)
+      // evict older generations of this bucket
+      cache.keySet.removeIf(k =>
+        k.dir == seenDir && k.bucket == bucket && k.version < version)
+    }
+    v match {
+      case bits: Array[Long] => graft.functions.Bloom64.mightContain(bits, urlHash)
+      case Empty => false
+      case _ => true // FailSafe
+    }
   }
+
+  private def load(seenDir: String, version: Long, bucket: Int): AnyRef = {
+    val vs = SeenStore.bloomVersions(seenDir).filter(_ <= version)
+    if (vs.isEmpty) FailSafe
+    else SeenStore.resolveBucket(seenDir, version, bucket) match {
+      case Some(bits) => bits
+      case None => Empty
+    }
+  }
+
+  private[graft] def clear(): Unit = cache.clear()
 }

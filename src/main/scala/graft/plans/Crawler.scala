@@ -55,11 +55,16 @@ object SeedInjector {
     val n = frontier0.count()
     StateTable.commit(frontier0, CrawlRound.frontierDir(stateDir), 0L, 0L, Map("seeds" -> n))
 
+    // bloom sidecars land BETWEEN the data write and the manifest/CURRENT
+    // publish: a committed seen version always has complete sidecars
     val seen0 = frontier0.select(
       col("surt"), col("url_hash"), col("host_bucket"), lit(0L).as("first_round"))
-    StateTable.commitAppend(seen0, CrawlRound.seenDir(stateDir), 0L, 0L, Map("seeds" -> n))
-    SeenStore.update(spark, CrawlRound.seenDir(stateDir), None, 0L, seen0,
-      seen0, expectedPerBucket = n * 2 / cfg.buckets + 1024L, cfg)
+    if (StateTable.alreadyCommitted(CrawlRound.seenDir(stateDir), 0L).isEmpty) {
+      val nSeen = StateTable.writeSnap(seen0, CrawlRound.seenDir(stateDir), 0L, partitioned = false)
+      SeenStore.update(spark, CrawlRound.seenDir(stateDir), None, 0L, seen0,
+        seen0, expectedPerBucket = n * 2 / cfg.buckets + 1024L, cfg)
+      StateTable.finalizeCommit(CrawlRound.seenDir(stateDir), 0L, 0L, nSeen, Map("seeds" -> n))
+    }
 
     val emptyHost = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.hostState)
@@ -70,13 +75,22 @@ object SeedInjector {
 
 object Resume {
 
-  /** Last complete committed version across all state tables (None = no v0). */
+  /** Last complete committed version across ALL state tables, fetch_log
+    * included (None = no v0). The four round commits run concurrently, so a
+    * crash can leave any one table behind; resuming from the minimum re-runs
+    * the partial round idempotently. fetch_log has no v0 (seeding writes no
+    * log), so its missing CURRENT counts as version 0.
+    */
   def lastCompleteVersion(stateDir: String): Option[Long] = {
-    val vs = Seq(
+    val core = Seq(
       StateTable.currentVersion(CrawlRound.frontierDir(stateDir)),
       StateTable.currentVersion(CrawlRound.seenDir(stateDir)),
       StateTable.currentVersion(CrawlRound.hostStateDir(stateDir)))
-    if (vs.exists(_.isEmpty)) None else Some(vs.flatten.min)
+    if (core.exists(_.isEmpty)) None
+    else {
+      val fetchV = StateTable.currentVersion(CrawlRound.fetchLogDir(stateDir)).getOrElse(0L)
+      Some((core.flatten :+ fetchV).min)
+    }
   }
 }
 

@@ -158,7 +158,8 @@ object StateTable {
   /** Commit `df` as snapshot `version`. When `partitioned`, lays out by
     * host_bucket (directory-level pruning — SURVEY.md §4.2); append-mode
     * tables stay flat so any number of deltas reads in one pass. Idempotent:
-    * an already-logged version is a no-op.
+    * an already-logged version is a no-op (with CURRENT repaired forward if
+    * a crash left it behind the manifest).
     */
   def commit(
       df: DataFrame,
@@ -166,11 +167,33 @@ object StateTable {
       version: Long,
       round: Long,
       counters: Map[String, Long] = Map.empty,
-      partitioned: Boolean = true): Manifest = {
-    Files.createDirectories(logDir(dir))
-    val logged = logDir(dir).resolve(s"$version.json")
-    if (Files.exists(logged)) return parseManifest(Files.readString(logged))
+      partitioned: Boolean = true): Manifest =
+    alreadyCommitted(dir, version).getOrElse {
+      val nRows = writeSnap(df, dir, version, partitioned)
+      finalizeCommit(dir, version, round, nRows, counters)
+    }
 
+  /** The manifest for `version` when it was already logged (idempotent
+    * replay). Also repairs a stale CURRENT: a crash between the manifest
+    * write and the ATOMIC_MOVE would otherwise leave CURRENT behind forever,
+    * because the idempotent replay of the round no-ops the commit.
+    */
+  def alreadyCommitted(dir: String, version: Long): Option[Manifest] = {
+    val logged = logDir(dir).resolve(s"$version.json")
+    if (!Files.exists(logged)) None
+    else {
+      if (currentVersion(dir).forall(_ < version)) advanceCurrent(dir, version)
+      Some(parseManifest(Files.readString(logged)))
+    }
+  }
+
+  /** Stage 1 of a commit: write the snap-<v> data files (overwrite — safe to
+    * retry) and return the footer row count. Visible to nobody until
+    * [[finalizeCommit]] publishes the manifest + CURRENT, so side artifacts
+    * derived from the data (e.g. bloom sidecars) can be written in between —
+    * a reader never sees a committed version whose sidecars are missing.
+    */
+  def writeSnap(df: DataFrame, dir: String, version: Long, partitioned: Boolean = true): Long = {
     val path = snapPath(dir, version)
     // one writer task per bucket directory: without the repartition each of
     // the N shuffle partitions opens a file in every bucket dir (N×B tiny
@@ -182,17 +205,32 @@ object StateTable {
       else df.write // flat deltas keep upstream parallelism (writes scale)
     writer.mode("overwrite").parquet(path)
     // driver-side footer count — no Spark job
-    val nRows = footerRowCount(path)
+    footerRowCount(path)
+  }
 
+  /** Stage 2 of a commit: publish manifest then atomically advance CURRENT. */
+  def finalizeCommit(
+      dir: String,
+      version: Long,
+      round: Long,
+      nRows: Long,
+      counters: Map[String, Long] = Map.empty): Manifest = {
+    Files.createDirectories(logDir(dir))
+    val logged = logDir(dir).resolve(s"$version.json")
     val m = Manifest(version, round, nRows, counters, version - 1)
     Files.writeString(logged, renderManifest(m), StandardCharsets.UTF_8,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    advanceCurrent(dir, version)
+    m
+  }
+
+  private def advanceCurrent(dir: String, version: Long): Unit = {
+    Files.createDirectories(logDir(dir))
     val tmp = logDir(dir).resolve(s"CURRENT.tmp.$version")
     Files.writeString(tmp, version.toString, StandardCharsets.UTF_8,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, currentFile(dir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    m
   }
 
   /** Total rows across the append chain ≤ version, from manifests (no IO

@@ -84,6 +84,52 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.sql("DROP TABLE IF EXISTS plan_spec_pages")
   }
 
+  test("broadcast fetch arm: BroadcastHashJoin, no exchange on pages") {
+    import spark.implicits._
+    val pages = graft.sources.SyntheticWeb.pages(
+      spark, graft.sources.SyntheticWeb.WebConfig(nPages = 300, nHosts = 6)).toDF()
+    val admitted = pages.limit(20).select(
+      col("url"), lit("s").as("surt"), lit("h").as("host"),
+      lit(0).as("host_bucket"), lit(0).as("depth"), lit(1.0).as("score"))
+    val (fetched, _, root) = graft.plans.CrawlRound.fetchJoin(pages, admitted, broadcastArm = true)
+    val plan = executed(fetched)
+    assert(plan.contains("BroadcastHashJoin"), s"fetch 200s not broadcast:\n$plan")
+    // a right_outer with a broadcast hint on the preserved side would fall
+    // back to SMJ/shuffle — the whole point of the inner+anti shape is that
+    // pages is only ever scanned
+    assert(!plan.contains("SortMergeJoin"), s"fetch fell back to SMJ:\n$plan")
+    val pagesScanned = plan.linesIterator.filter(_.contains("html")).toSeq
+    assert(!pagesScanned.exists(l => l.contains("Exchange") || l.contains("Sort ")),
+      s"pages (html column) shuffled or sorted:\n$plan")
+    root.unpersist()
+  }
+
+  test("D3 gate: both arms identical membership; big arm avoids broadcast") {
+    import spark.implicits._
+    val needExact = (1L to 500L).map(i => (s"s$i", i)).toDF("surt", "url_hash")
+    val seen = (1L to 1000L by 2).map(i => (s"s$i", i)).toDF("surt", "url_hash")
+    val small = graft.plans.CrawlRound.exactAntiJoin(needExact, seen, viaBroadcast = true)
+    val big = graft.plans.CrawlRound.exactAntiJoin(needExact, seen, viaBroadcast = false)
+    val a = small.select("surt").as[String].collect().sorted.toSeq
+    val b = big.select("surt").as[String].collect().sorted.toSeq
+    assert(a == b, "gate arms disagree on membership")
+    assert(a.nonEmpty && a.size < 500, "trivially-empty comparison")
+    // above the gate no broadcast of the probe set may be FORCED. Catalyst
+    // still auto-broadcasts genuinely tiny inputs by size stats (fine — at
+    // scale the stats are huge), so model the at-scale case by disabling
+    // auto-broadcast: the big arm must then plan with zero broadcasts while
+    // the small arm's explicit hints still broadcast.
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bigPlan = sparkPlan(graft.plans.CrawlRound.exactAntiJoin(needExact, seen, viaBroadcast = false))
+      assert(!bigPlan.contains("BroadcastHashJoin") && !bigPlan.contains("BroadcastExchange"),
+        s"big arm still broadcasts:\n$bigPlan")
+      val smallPlan = sparkPlan(graft.plans.CrawlRound.exactAntiJoin(needExact, seen, viaBroadcast = true))
+      assert(smallPlan.contains("BroadcastHashJoin"), s"small arm lost its broadcast:\n$smallPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
+
   test("frontier read restores declared column order and prunes buckets") {
     import spark.implicits._
     val dir = tmpDir("prune")

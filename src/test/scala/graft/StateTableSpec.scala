@@ -58,6 +58,32 @@ class StateTableSpec extends AnyFunSuite with SparkTestSession {
     assert(StateTable.read(spark, dir).count() == 2)
   }
 
+  test("crash injection: stale CURRENT behind a logged manifest is repaired") {
+    val dir = tmpDir("st")
+    StateTable.commit(Seq(1).toDF("k"), dir, 0L, 0L)
+    StateTable.commit(Seq(1, 2).toDF("k"), dir, 1L, 1L)
+    // simulate a crash between manifest write and the CURRENT move for v1
+    Files.writeString(Paths.get(dir, "_log", "CURRENT"), "0")
+    assert(StateTable.currentVersion(dir).contains(0L))
+    // idempotent replay of the same commit must repair the pointer forward
+    val m = StateTable.commit(Seq(9, 9, 9).toDF("k"), dir, 1L, 1L) // data ignored
+    assert(m.nRows == 2)
+    assert(StateTable.currentVersion(dir).contains(1L))
+    assert(StateTable.read(spark, dir).count() == 2)
+  }
+
+  test("staged commit: writeSnap is invisible until finalizeCommit") {
+    val dir = tmpDir("st")
+    StateTable.commit(Seq(1).toDF("k"), dir, 0L, 0L)
+    val n = StateTable.writeSnap(Seq(2, 3).toDF("k"), dir, 1L)
+    assert(n == 2)
+    assert(StateTable.currentVersion(dir).contains(0L)) // not yet published
+    assert(StateTable.manifest(dir, 1L).isEmpty)
+    val m = StateTable.finalizeCommit(dir, 1L, 1L, n, Map("x" -> 7L))
+    assert(m.nRows == 2 && StateTable.currentVersion(dir).contains(1L))
+    assert(StateTable.manifest(dir, 1L).get.counters("x") == 7L)
+  }
+
   test("host_bucket column triggers partitioned layout (directory pruning)") {
     val dir = tmpDir("st")
     val df = Seq(("a", 0), ("b", 1), ("c", 1)).toDF("surt", "host_bucket")
