@@ -380,6 +380,38 @@ object SparkEntry {
         .select("embedding").head().getSeq[Float](0)
       Similarity.lshTopK(emb.where(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
     }),
+    // persisted IVF index: bucket-partitioned write, then a PARTITION-PRUNED
+    // probe (the scan reads only the probed bucket dirs — the 100 TB path)
+    "q_sim_ivf_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val q = emb.where(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${math.abs(dir.hashCode)}"
+      Similarity.ivfWrite(emb.where(col("vec_id") =!= 0), "embedding", idx, planes = 6)
+      Similarity.ivfProbe(s, idx, "vec_id", "embedding", q, 10, planes = 6)
+    }),
+
+    // ---- exact n-gram Jaccard verification (all-pairs on a BOUNDED sample;
+    // candidate generation at scale is minhash/simhash — this is the exact
+    // verify operator, DuckDB-oracled) ----
+    "q_dedup_jaccard" -> ((s, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= lit(""))
+      val d = s.read.parquet(t(dir, "documents"))
+        .where(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), array_distinct(transform(
+          sequence(lit(0), greatest(size(col("toks")) - 3, lit(0))),
+          i => array_join(slice(col("toks"), i + lit(1), lit(3)), " "))).as("sh"))
+      val l = d.select(col("doc_id").as("a"), col("sh").as("sha"))
+      val r = d.select(col("doc_id").as("b"), col("sh").as("shb"))
+      l.join(r, col("a") < col("b")) // bounded sample ⇒ NL join is fine
+        .withColumn("jaccard", round(
+          size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            greatest(size(array_union(col("sha"), col("shb"))), lit(1)), 6))
+        .where(col("jaccard") >= 0.1)
+        .select("a", "b", "jaccard")
+        .orderBy("a", "b")
+    }),
 
     // ---- multimodal plumbing (codec stubbed, plumbing real) ----
     "q_multimodal_decode" -> ((s, dir) => {
@@ -588,6 +620,22 @@ object SparkEntry {
         FROM g)
       SELECT user_id, min(ts) AS session_start, cast(count(*) AS BIGINT) AS n_events
       FROM s GROUP BY user_id, sess_id ORDER BY user_id, session_start"""),
+
+    "q_dedup_jaccard" -> ("""
+      WITH t AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        FROM documents WHERE doc_id % 10 = 0),
+      sh AS (
+        SELECT doc_id, list_distinct([array_to_string(toks[i+1:i+3], ' ')
+                                      for i in range(0, greatest(len(toks)-3, 0) + 1)]) AS s
+        FROM t)
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             round(cast(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                   greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE round(cast(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                  greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) >= 0.1
+      ORDER BY a, b"""),
 
     "q_text_quality" -> ("""
       SELECT doc_id,

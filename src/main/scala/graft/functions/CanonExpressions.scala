@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the canonicalization hot path (SURVEY.md
+  * §4.3 / M12): resolve+canon+SURT and the fused page scan as expressions
+  * with `doGenCode`, so the candidate pipeline stays inside one whole-stage
+  * codegen span with a direct static call per row — no ScalaUDF closure
+  * dispatch, no CatalystTypeConverter boxing of the struct/array results
+  * (the kernels build `InternalRow`/`GenericArrayData` directly).
+  *
+  * Semantics are EXACTLY the UDFs' (same UrlCanon/Html kernels underneath);
+  * golden-vector equality is pinned by UrlCanonSpec/HtmlSpec tests.
+  */
+object CanonKernel {
+
+  /** null in / unparseable in → null out (mirrors resolveCanonUdf). */
+  def resolveCanon(base: UTF8String, href: UTF8String): InternalRow = {
+    val cp = UrlCanon.canonParts(UrlCanon.resolve(base.toString, href.toString))
+    if (cp == null) null
+    else new GenericInternalRow(Array[Any](
+      UTF8String.fromString(cp.url), UTF8String.fromString(cp.host),
+      UTF8String.fromString(cp.path), UTF8String.fromString(cp.surt)))
+  }
+
+  def canon(raw: UTF8String): UTF8String = {
+    val c = UrlCanon.canonicalize(raw.toString)
+    if (c == null) null else UTF8String.fromString(c)
+  }
+
+  def surt(raw: UTF8String): UTF8String = {
+    val s = UrlCanon.surt(raw.toString)
+    if (s == null) null else UTF8String.fromString(s)
+  }
+
+  /** One UTF-8 decode → (links, text), as Catalyst-internal values. */
+  def pageScan(html: Array[Byte]): InternalRow = {
+    val ps = Html.scanPage(html)
+    val links = new Array[Any](ps.links.length)
+    var i = 0
+    val it = ps.links.iterator
+    while (it.hasNext) {
+      val l = it.next()
+      links(i) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(l.href), UTF8String.fromString(l.anchor)))
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(links), UTF8String.fromString(ps.text)))
+  }
+
+  val canonPartsType: StructType = StructType(Seq(
+    StructField("url", StringType), StructField("host", StringType),
+    StructField("path", StringType), StructField("surt", StringType)))
+
+  val pageScanType: StructType = StructType(Seq(
+    StructField("links", ArrayType(StructType(Seq(
+      StructField("href", StringType), StructField("anchor", StringType))))),
+    StructField("text", StringType)))
+}
+
+/** resolve(base, href) → canonicalize → (url, host, path, surt) struct. */
+case class ResolveCanonSurt(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = CanonKernel.canonPartsType
+  override def nullable: Boolean = true
+  override def prettyName: String = "resolve_canon_surt"
+  override protected def nullSafeEval(base: Any, href: Any): Any =
+    CanonKernel.resolveCanon(base.asInstanceOf[UTF8String], href.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (base, href) =>
+      s"""
+         |${ev.value} = graft.functions.CanonKernel.resolveCanon($base, $href);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** RFC 3986 canonical form of a raw URL (null if unparseable). */
+case class CanonUrl(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "canon_url_expr"
+  override protected def nullSafeEval(raw: Any): Any =
+    CanonKernel.canon(raw.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, raw =>
+      s"""
+         |${ev.value} = graft.functions.CanonKernel.canon($raw);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SURT form of a raw URL (null if unparseable). */
+case class SurtOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "surt_expr"
+  override protected def nullSafeEval(raw: Any): Any =
+    CanonKernel.surt(raw.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, raw =>
+      s"""
+         |${ev.value} = graft.functions.CanonKernel.surt($raw);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused page scan: one UTF-8 decode → (links array, extracted text). */
+case class PageScan(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = CanonKernel.pageScanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "page_scan"
+  override protected def nullSafeEval(html: Any): Any =
+    CanonKernel.pageScan(html.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, html =>
+      s"""
+         |${ev.value} = graft.functions.CanonKernel.pageScan($html);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column factories for the native expressions. */
+object CanonExpressions {
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+  def resolveCanonCol(base: Column, href: Column): Column =
+    column(ResolveCanonSurt(expression(base), expression(href)))
+  def canonCol(raw: Column): Column = column(CanonUrl(expression(raw)))
+  def surtCol(raw: Column): Column = column(SurtOf(expression(raw)))
+  def pageScanCol(html: Column): Column = column(PageScan(expression(html)))
+}

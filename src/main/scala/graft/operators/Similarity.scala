@@ -38,28 +38,35 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket: sign bits of `planes` fixed pseudo-random
     * hyperplanes (deterministic from plane index and dimension — no stored
-    * model). Cosine-similar vectors collide with high probability.
+    * model). Cosine-similar vectors collide with high probability. Plain
+    * function so the DRIVER can bucket a query vector without a Spark job.
     */
-  val lshBucketUdf = udf((v: Seq[Float], planes: Int) => {
-    if (v == null) 0L
-    else {
-      var bucket = 0L
-      var p = 0
-      while (p < planes) {
-        var dot = 0.0
-        var i = 0
-        while (i < v.length) {
-          // deterministic pseudo-gaussian-ish weight in [-1,1)
-          val h = Bloom64.mix(p.toLong * 1000003L + i)
-          dot += v(i) * ((h >>> 11).toDouble / (1L << 52).toDouble - 1.0)
-          i += 1
-        }
-        if (dot > 0) bucket |= (1L << p)
-        p += 1
+  def lshBucket(v: Seq[Float], planes: Int): Long = {
+    if (v == null) return 0L
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) {
+        // deterministic pseudo-gaussian-ish weight in [-1,1)
+        val h = Bloom64.mix(p.toLong * 1000003L + i)
+        dot += v(i) * ((h >>> 11).toDouble / (1L << 52).toDouble - 1.0)
+        i += 1
       }
-      bucket
+      if (dot > 0) bucket |= (1L << p)
+      p += 1
     }
-  })
+    bucket
+  }
+
+  val lshBucketUdf = udf((v: Seq[Float], planes: Int) => lshBucket(v, planes))
+
+  /** Query bucket + optional hamming-1 multi-probe neighborhood. */
+  private[graft] def probeBuckets(query: Seq[Float], planes: Int, multiProbe: Boolean): Seq[Long] = {
+    val qb = lshBucket(query, planes)
+    if (!multiProbe) Seq(qb) else qb +: (0 until planes).map(p => qb ^ (1L << p))
+  }
 
   /** Brute-force cosine top-k against a literal query vector. */
   def bruteForceTopK(
@@ -82,12 +89,7 @@ object Similarity {
       emb: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int, planes: Int = 8, multiProbe: Boolean = true): DataFrame = {
     val bucketed = emb.withColumn("bucket", lshBucketUdf(col(vecCol), lit(planes)))
-    val qBucketRow = bucketed.sparkSession.range(1).select(
-      lshBucketUdf(typedLit(query), lit(planes)).as("qb")).head()
-    val qb = qBucketRow.getLong(0)
-    val probes: Seq[Long] =
-      if (!multiProbe) Seq(qb)
-      else qb +: (0 until planes).map(p => qb ^ (1L << p))
+    val probes = probeBuckets(query, planes, multiProbe)
     bucketed.where(col("bucket").isin(probes: _*))
       .select(col(idCol), round(cosineUdf(col(vecCol), typedLit(query)), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
@@ -99,4 +101,31 @@ object Similarity {
     */
   def ivfIndex(emb: DataFrame, vecCol: String, planes: Int = 8): DataFrame =
     emb.withColumn("bucket", lshBucketUdf(col(vecCol), lit(planes)))
+
+  /** Persist the IVF layout: one directory per bucket (partitioned write,
+    * one writer task per bucket dir). At 100 TB this is the index-build job;
+    * probes then read only the probed buckets (partition pruning at the
+    * scan, no full-table pass).
+    */
+  def ivfWrite(emb: DataFrame, vecCol: String, dir: String, planes: Int = 8): Unit =
+    ivfIndex(emb, vecCol, planes)
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+
+  /** ANN top-k over a persisted IVF index: the query's bucket is computed on
+    * the DRIVER (no job), the scan reads only the probed bucket directories
+    * (`PartitionFilters` — plan-asserted in PlanSpec), and ranking is exact
+    * within the candidates.
+    */
+  def ivfProbe(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, planes: Int = 8, multiProbe: Boolean = true): DataFrame = {
+    val probes = probeBuckets(query, planes, multiProbe)
+    spark.read.parquet(dir)
+      .where(col("bucket").isin(probes: _*))
+      .select(col(idCol), round(cosineUdf(col(vecCol), typedLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

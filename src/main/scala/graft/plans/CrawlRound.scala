@@ -83,7 +83,7 @@ object CrawlRound {
     * links + text); 404 rows pass through with empty links.
     */
   private def scanned(df: DataFrame): DataFrame = df
-    .withColumn("scan", when(col("status") === 200, UrlFunctions.pageScanUdf(col("html"))))
+    .withColumn("scan", when(col("status") === 200, graft.functions.CanonExpressions.pageScanCol(col("html"))))
     .withColumn("links", coalesce(col("scan.links"), emptyLinks))
     .withColumn("n_links", size(col("links")))
     .withColumn("text_xxh64",
@@ -249,7 +249,7 @@ object CrawlRound {
         col("depth").as("parent_depth"),
         (col("score") / greatest(col("n_links"), lit(1))).as("contrib"),
         explode(col("links")).as("link"))
-      .withColumn("cp", UrlFunctions.resolveCanonUdf(col("base_url"), col("link").getField("href")))
+      .withColumn("cp", graft.functions.CanonExpressions.resolveCanonCol(col("base_url"), col("link").getField("href")))
       .where(col("cp").isNotNull &&
         (col("cp.url").startsWith("http://") || col("cp.url").startsWith("https://")) &&
         length(col("cp.url")) <= cfg.maxPathLength &&

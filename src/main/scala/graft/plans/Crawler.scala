@@ -145,11 +145,11 @@ object Crawler {
       .select(
         col("surt").as("parent_surt"), col("url").as("base_url"),
         col("depth").as("parent_depth"), col("score"),
-        UrlFunctions.pageScanUdf(col("html")).as("scan"))
+        graft.functions.CanonExpressions.pageScanCol(col("html")).as("scan"))
       .select(col("parent_surt"), col("base_url"), col("parent_depth"),
         (col("score") / greatest(size(col("scan.links")), lit(1))).as("contrib"),
         explode(col("scan.links")).as("link"))
-      .withColumn("cp", UrlFunctions.resolveCanonUdf(col("base_url"), col("link").getField("href")))
+      .withColumn("cp", graft.functions.CanonExpressions.resolveCanonCol(col("base_url"), col("link").getField("href")))
       .where(col("cp").isNotNull && col("cp.url").startsWith("http") &&
         allowPathUdf(col("cp.host"), col("cp.path")))
       .groupBy(col("cp.surt").as("surt"))

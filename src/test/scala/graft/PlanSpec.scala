@@ -130,6 +130,37 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
   }
 
+  test("IVF probe: partition-pruned scan, brute-force agreement within LSH recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val rest = emb.where(col("vec_id") =!= 0)
+    val dir = tmpDir("ivf") + "/idx"
+    graft.operators.Similarity.ivfWrite(rest, "embedding", dir, planes = 6)
+    val probe = graft.operators.Similarity.ivfProbe(
+      spark, dir, "vec_id", "embedding", q, 10, planes = 6)
+    val plan = sparkPlan(probe)
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("bucket"), s"probe scan not partition-pruned:\n$plan")
+    assert(!scanLine.matches(".*PartitionFilters: \\[\\].*"), s"empty partition filter:\n$plan")
+    val ivf = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the probe must be EXACT within its candidate set: brute force over the
+    // same probed buckets gives identical ranked results
+    val probes = graft.operators.Similarity.probeBuckets(q, planes = 6, multiProbe = true)
+    val restricted = rest.where(
+      graft.operators.Similarity.lshBucketUdf(col("embedding"), lit(6)).isin(probes: _*))
+    val expected = graft.operators.Similarity
+      .bruteForceTopK(restricted, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf == expected, "probe ranking diverges from brute force over probed buckets")
+    // loose global sanity: the probed neighborhood catches some of the true
+    // top-k (near-random synthetic embeddings give LSH little structure, so
+    // the floor is deliberately low — exactness above is the real assertion)
+    val bruteIds = graft.operators.Similarity.bruteForceTopK(rest, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = (ivf.map(_._1).toSet intersect bruteIds).size
+    assert(overlap >= 1, s"LSH recall collapsed: $overlap/10 of brute-force top-k found")
+  }
+
   test("frontier read restores declared column order and prunes buckets") {
     import spark.implicits._
     val dir = tmpDir("prune")
