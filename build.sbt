@@ -30,4 +30,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // GC-throttles the 32-thread runs (measured: negative full-loop scaling
   // under default heap). The box has 128 GiB; size for the widest bench.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // the crawl/parse pipeline is allocation-heavy; the collector is the
+  // single biggest lever on wide local[N] throughput (A/B-measured)
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "Parallel")}GC",
+) ++ // NOTE: -Xmn24g was A/B-tested and REJECTED (fewer but far longer young
+  // pauses: GC total doubled); ParallelGC ergonomics win on this pipeline.
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+")) ++
+  sys.env.get("SPARK_GRAFT_GC_LOG").map(f => s"-Xlog:gc:$f").toSeq ++ Seq(
 )

@@ -155,14 +155,16 @@ object SparkEntry {
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }),
 
-    // ---- A3: OPIC cash-split shape (contribution = value/n, sum per target) ----
+    // ---- A3: OPIC cash-split shape (contribution = value/n, sum per target).
+    // n_links via a window count over the same l_orderkey partitioning the
+    // self-join would shuffle for — one shuffle instead of two ----
     "q_a3_opic" -> ((s, dir) => {
       val orders = s.read.parquet(t(dir, "orders"))
       val li = s.read.parquet(t(dir, "lineitem"))
-      val n = li.groupBy("l_orderkey").agg(count(lit(1)).as("n_links"))
-      li.join(n, "l_orderkey")
+      val w = Window.partitionBy("l_orderkey")
+      li.withColumn("n_links", count(lit(1)).over(w))
         .join(orders.select(col("o_orderkey"), col("o_totalprice")),
-          li("l_orderkey") === col("o_orderkey"))
+          col("l_orderkey") === col("o_orderkey"))
         .withColumn("contrib", col("o_totalprice") / col("n_links"))
         .groupBy("l_partkey")
         .agg(round(sum("contrib"), 2).as("cash"))

@@ -107,7 +107,10 @@ final case class CrawlConfig(
     // than this, the bloom-positive probe set is too large to broadcast —
     // the exact anti-join falls back to a distributed shuffle join instead
     // of collecting millions of surts through the driver
-    exactAntiBroadcastMaxRows: Long = 2000000L)
+    // ≈500k surts ≈ 30-50 MB broadcast — beyond that the double-broadcast
+    // trick costs more driver heap + serial build time than the narrow
+    // surt-only shuffle of the distributed arm
+    exactAntiBroadcastMaxRows: Long = 500000L)
 
 object Schemas {
   val pages: StructType = StructType(Seq(

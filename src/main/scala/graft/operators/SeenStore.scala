@@ -126,7 +126,12 @@ object SeenStore {
       mergeUpTo: Option[Long]): Double = {
     Files.createDirectories(bloomDir(seenDir, newVersion))
     val agg = udaf(new BloomAggregator(m))
+    // explicit repartition after the agg: the result is one row per bucket,
+    // so AQE would coalesce the tiny shuffle to ONE partition and a single
+    // task would then read-merge-write every bucket file serially (~1s per
+    // round measured); an explicit width keeps the file IO parallel
     val perBucket = df.groupBy(col("host_bucket")).agg(agg(col("url_hash")).as("bloom"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("host_bucket"))
     // per-partition imperative sink (the one legitimate RDD drop-down): each
     // task writes the handful of bucket files its partition holds
     val sats = perBucket.rdd.mapPartitions { it =>

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 import graft.model.Schemas
 import graft.sources.StateTable
@@ -105,6 +105,51 @@ object StreamingCrawl {
           state.update(BucketState(tokens, last))
           out.iterator
       }
+  }
+
+  /** ST3 PRIMARY path: the same token-bucket arithmetic as an arbitrary-
+    * stateful `StatefulProcessor` (Spark 4 `transformWithState`, RocksDB
+    * state store) — typed ValueState per host, exactly the batch T1 refill.
+    * The flatMapGroupsWithState twin above remains as the fallback path.
+    */
+  class TokenBucketProcessor(burst: Double, delayRounds: Double)
+      extends StatefulProcessor[String, HostReq, Admission] {
+    @transient private var state: ValueState[BucketState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[BucketState](
+        "bucket", Encoders.product[BucketState], TTLConfig.NONE)
+    override def handleInputRows(
+        host: String, rows: Iterator[HostReq], timerValues: TimerValues): Iterator[Admission] = {
+      val sorted = rows.toSeq.sortBy(_.round)
+      val s0 = Option(state.get()).getOrElse(
+        BucketState(1.0, sorted.headOption.map(_.round - 1).getOrElse(0L)))
+      var tokens = s0.tokens
+      var last = s0.lastRound
+      val out = sorted.groupBy(_.round).toSeq.sortBy(_._1).map { case (round, rs) =>
+        tokens = math.min(burst, tokens + (round - last) / delayRounds)
+        last = round
+        val admitted = math.min(rs.size, math.floor(tokens).toInt)
+        tokens -= admitted
+        Admission(host, round, admitted, tokens)
+      }
+      state.update(BucketState(tokens, last))
+      out.iterator
+    }
+  }
+
+  /** ST3 via transformWithState (requires the RocksDB state store provider:
+    * set spark.sql.streaming.stateStore.providerClass to
+    * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+    * on the streaming query's session).
+    */
+  def tokenBucketTws(
+      reqs: Dataset[HostReq],
+      burst: Double,
+      delayRounds: Double): Dataset[Admission] = {
+    import reqs.sparkSession.implicits._
+    reqs.groupByKey(_.host)
+      .transformWithState(
+        new TokenBucketProcessor(burst, delayRounds), TimeMode.None(), OutputMode.Append())
   }
 
   /** Drive the ST3 bucket over a memory-stream-free path: batch Dataset in,

@@ -110,4 +110,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     // politeness: never more than floor(burst)=2 admitted per host-round
     assert(streamed.forall(_._3 <= 2))
   }
+
+  test("ST3 primary: transformWithState (RocksDB store) ≡ batch arithmetic") {
+    import spark.implicits._
+    val reqs = for {
+      host <- Seq("a.example", "b.example", "c.example")
+      round <- 1L to 5L
+      _ <- 0 until 3
+    } yield StreamingCrawl.HostReq(host, round)
+
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingCrawl.HostReq](spark)
+      input.addData(reqs)
+      val q = StreamingCrawl.tokenBucketTws(input.toDS(), burst = 2.0, delayRounds = 1.0)
+        .writeStream
+        .option("checkpointLocation", tmpDir("ckpt-tws"))
+        .outputMode("append")
+        .format("memory").queryName("tws_out")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.sql("SELECT host, round, admitted FROM tws_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      val batch = StreamingCrawl.tokenBucketBatch(spark, reqs)
+        .map(a => (a.host, a.round, a.admitted)).toSet
+      assert(streamed == batch, "transformWithState ≡ batch token arithmetic")
+      assert(streamed.forall(_._3 <= 2))
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
 }
