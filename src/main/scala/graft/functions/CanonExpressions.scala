@@ -63,6 +63,29 @@ object CanonKernel {
     StructField("links", ArrayType(StructType(Seq(
       StructField("href", StringType), StructField("anchor", StringType))))),
     StructField("text", StringType)))
+
+  /** Hot-path variant: links + xxhash64-of-text, no text materialization
+    * (zero page-sized garbage — see Html.textHashFromString).
+    */
+  def pageScanHashed(html: Array[Byte]): InternalRow = {
+    val ps = Html.scanPageHashed(html)
+    val links = new Array[Any](ps.links.length)
+    var i = 0
+    val it = ps.links.iterator
+    while (it.hasNext) {
+      val l = it.next()
+      links(i) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(l.href), UTF8String.fromString(l.anchor)))
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(links), java.lang.Long.valueOf(ps.textXxh64)))
+  }
+
+  val pageScanHashedType: StructType = StructType(Seq(
+    StructField("links", ArrayType(StructType(Seq(
+      StructField("href", StringType), StructField("anchor", StringType))))),
+    StructField("text_xxh64", LongType)))
 }
 
 /** resolve(base, href) → canonicalize → (url, host, path, surt) struct. */
@@ -135,6 +158,23 @@ case class PageScan(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused page scan for the crawl hot path: links + xxhash64(text). */
+case class PageScanHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = CanonKernel.pageScanHashedType
+  override def nullable: Boolean = true
+  override def prettyName: String = "page_scan_hash"
+  override protected def nullSafeEval(html: Any): Any =
+    CanonKernel.pageScanHashed(html.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, html =>
+      s"""
+         |${ev.value} = graft.functions.CanonKernel.pageScanHashed($html);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column factories for the native expressions. */
 object CanonExpressions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
@@ -143,4 +183,5 @@ object CanonExpressions {
   def canonCol(raw: Column): Column = column(CanonUrl(expression(raw)))
   def surtCol(raw: Column): Column = column(SurtOf(expression(raw)))
   def pageScanCol(html: Column): Column = column(PageScan(expression(html)))
+  def pageScanHashCol(html: Column): Column = column(PageScanHash(expression(html)))
 }

@@ -133,22 +133,27 @@ object Html {
   /** X2: html bytes (UTF-8) → byte-identical extracted text. */
   def extractText(html: Array[Byte]): String = extractTextFromString(decodeUtf8(html))
 
-  /** Parse attributes of the tag starting at `lt` (html(lt)=='<').
-    * Returns (attrMap, indexPastGt). Quote-aware; unquoted values end at
-    * whitespace or '>'. Attribute names lowercased; first occurrence wins.
+  /** Parse the tag starting at `lt` (html(lt)=='<') for its `href`
+    * attribute only: quote-aware, unquoted values end at whitespace or
+    * '>', names case-insensitive, first occurrence wins — the general
+    * attribute grammar, specialized so no attribute map or unused
+    * name/value substrings are allocated. Returns (href or null,
+    * indexPastGt).
     */
-  private def parseTag(html: String, lt: Int): (Map[String, String], Int) = {
+  private def parseHref(html: String, lt: Int): (String, Int) = {
     var i = lt + 1
-    // skip tag name
     while (i < html.length && html.charAt(i) != '>' && !isWs(html.charAt(i)) && html.charAt(i) != '/') i += 1
-    var attrs = Map.empty[String, String]
+    var href: String = null
     while (i < html.length && html.charAt(i) != '>') {
       while (i < html.length && (isWs(html.charAt(i)) || html.charAt(i) == '/')) i += 1
-      if (i >= html.length || html.charAt(i) == '>') return (attrs, if (i < html.length) i + 1 else html.length)
+      if (i >= html.length || html.charAt(i) == '>') return (href, if (i < html.length) i + 1 else html.length)
       val nameStart = i
       while (i < html.length && html.charAt(i) != '=' && html.charAt(i) != '>' && !isWs(html.charAt(i))) i += 1
-      val name = html.substring(nameStart, i).toLowerCase
-      // skip ws before '='
+      val isHref = i - nameStart == 4 &&
+        Character.toLowerCase(html.charAt(nameStart)) == 'h' &&
+        Character.toLowerCase(html.charAt(nameStart + 1)) == 'r' &&
+        Character.toLowerCase(html.charAt(nameStart + 2)) == 'e' &&
+        Character.toLowerCase(html.charAt(nameStart + 3)) == 'f'
       var j = i
       while (j < html.length && isWs(html.charAt(j))) j += 1
       if (j < html.length && html.charAt(j) == '=') {
@@ -159,21 +164,21 @@ object Html {
           val vStart = j + 1
           var k = vStart
           while (k < html.length && html.charAt(k) != q) k += 1
-          if (name.nonEmpty && !attrs.contains(name)) attrs += name -> html.substring(vStart, k)
+          if (isHref && href == null) href = html.substring(vStart, k)
           i = if (k < html.length) k + 1 else k
         } else {
           val vStart = j
           var k = vStart
           while (k < html.length && !isWs(html.charAt(k)) && html.charAt(k) != '>') k += 1
-          if (name.nonEmpty && !attrs.contains(name)) attrs += name -> html.substring(vStart, k)
+          if (isHref && href == null) href = html.substring(vStart, k)
           i = k
         }
       } else {
-        if (name.nonEmpty && !attrs.contains(name)) attrs += name -> ""
+        if (isHref && href == null) href = ""
         i = j
       }
     }
-    (attrs, if (i < html.length) i + 1 else html.length)
+    (href, if (i < html.length) i + 1 else html.length)
   }
 
   /** X1: ordered (href, anchor) pairs from <a href> tags; in-page dedup by
@@ -190,7 +195,7 @@ object Html {
         if (tagAt(html, i, "script")) i = skipBlock(html, i, "script")
         else if (tagAt(html, i, "style")) i = skipBlock(html, i, "style")
         else if (tagAt(html, i, "a")) {
-          val (attrs, past) = parseTag(html, i)
+          val (hrefRaw, past) = parseHref(html, i)
           // anchor body = text up to matching </a> (or next <a / end)
           var j = past
           var depthGuard = 0
@@ -212,14 +217,12 @@ object Html {
             depthGuard += 1
           }
           if (!found) { bodyEnd = html.length; end = html.length }
-          attrs.get("href") match {
-            case Some(h) if h.nonEmpty =>
-              val href = decodeEntities(h).trim
-              if (href.nonEmpty && !seen.contains(href)) {
-                seen += href
-                out += Link(href, extractTextFromString(html.substring(past, bodyEnd)))
-              }
-            case _ => ()
+          if (hrefRaw != null && hrefRaw.nonEmpty) {
+            val href = decodeEntities(hrefRaw).trim
+            if (href.nonEmpty && !seen.contains(href)) {
+              seen += href
+              out += Link(href, extractTextFromString(html.substring(past, bodyEnd)))
+            }
           }
           i = end
         } else {
@@ -242,5 +245,141 @@ object Html {
   def scanPage(html: Array[Byte]): PageScan = {
     val s = decodeUtf8(html)
     PageScan(extractLinksFromString(s), extractTextFromString(s))
+  }
+
+  // ---- allocation-free text hashing for the crawl hot path ----
+  //
+  // The engine never stores extracted text — only xxhash64(text) (fetch-log
+  // text_xxh64). Materializing the text costs ~4 page-sized allocations per
+  // page (noTags builder + entity/collapse builders + String + UTF8String
+  // re-encode); at local[32] that allocation rate makes GC the scaling
+  // limiter. textHash produces the SAME 64-bit value as
+  // xxhash64(extractText(html)) using two thread-local reused buffers and
+  // zero per-page garbage. Byte-identity with X2 is pinned by a property
+  // test (hash equality on the corpus + adversarial vectors); extractText
+  // itself — the user-facing X2 operator — is untouched.
+
+  private final class ScanBuffers {
+    var chars = new Array[Char](16 * 1024)
+    var bytes = new Array[Byte](16 * 1024)
+    def ensureChars(n: Int): Unit =
+      if (chars.length < n) chars = new Array[Char](Integer.highestOneBit(n) * 2)
+    def ensureBytes(n: Int): Unit =
+      if (bytes.length < n) bytes = new Array[Byte](Integer.highestOneBit(n) * 2)
+  }
+  private val buffers = ThreadLocal.withInitial[ScanBuffers](() => new ScanBuffers)
+
+  /** xxhash64(seed 42) of the UTF-8 bytes of extractTextFromString(html),
+    * without materializing the text. Pass structure mirrors X2's frozen
+    * order exactly: strip blocks/tags → entity decode over the STRIPPED
+    * stream → collapse → trim, fused into reused buffers.
+    */
+  def textHashFromString(html: String): Long = {
+    if (html == null) return emptyTextHash
+    val buf = buffers.get()
+    buf.ensureChars(html.length)
+    val stripped = buf.chars
+    // pass 1: strip script/style blocks and tags (X2 pass 1)
+    var n = 0
+    var i = 0
+    while (i < html.length) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (tagAt(html, i, "script")) i = skipBlock(html, i, "script")
+        else if (tagAt(html, i, "style")) i = skipBlock(html, i, "style")
+        else {
+          val gt = html.indexOf('>', i)
+          i = if (gt < 0) html.length else gt + 1
+        }
+      } else { stripped(n) = c; n += 1; i += 1 }
+    }
+    // pass 2 (fused X2 passes 2+3): entity decode over the stripped stream,
+    // whitespace collapse + trim, emitted in place over the same buffer
+    // (the write index never overtakes the read index: every entity decode
+    // shrinks and collapse never grows)
+    var w = 0
+    var pendingSpace = false
+    i = 0
+    def startsWithAt(lit: String, at: Int): Boolean = {
+      if (at + lit.length > n) return false
+      var j = 0
+      while (j < lit.length) {
+        if (stripped(at + j) != lit.charAt(j)) return false
+        j += 1
+      }
+      true
+    }
+    while (i < n) {
+      var c = stripped(i)
+      var step = 1
+      if (c == '&') {
+        if (startsWithAt("&amp;", i)) { c = '&'; step = 5 }
+        else if (startsWithAt("&lt;", i)) { c = '<'; step = 4 }
+        else if (startsWithAt("&gt;", i)) { c = '>'; step = 4 }
+        else if (startsWithAt("&quot;", i)) { c = '"'; step = 6 }
+        else if (startsWithAt("&apos;", i)) { c = '\''; step = 6 }
+        else if (startsWithAt("&nbsp;", i)) { c = ' '; step = 6 }
+      }
+      if (c == ' ' || c == '\t' || c == '\r' || c == '\n') pendingSpace = true
+      else {
+        if (pendingSpace && w > 0) { stripped(w) = ' '; w += 1 }
+        pendingSpace = false
+        stripped(w) = c
+        w += 1
+      }
+      i += step
+    }
+    hashUtf8(stripped, w, buf)
+  }
+
+  /** XXH64(seed 42) over the UTF-8 encoding of chars[0, n) — identical to
+    * Spark's xxhash64 over the equivalent string column.
+    */
+  private def hashUtf8(chars: Array[Char], n: Int, buf: ScanBuffers): Long = {
+    buf.ensureBytes(n * 3 + 4)
+    val out = buf.bytes
+    var o = 0
+    var i = 0
+    while (i < n) {
+      val c = chars(i)
+      if (c < 0x80) { out(o) = c.toByte; o += 1 }
+      else if (c < 0x800) {
+        out(o) = (0xc0 | (c >> 6)).toByte
+        out(o + 1) = (0x80 | (c & 0x3f)).toByte
+        o += 2
+      } else if (Character.isHighSurrogate(c) && i + 1 < n && Character.isLowSurrogate(chars(i + 1))) {
+        val cp = Character.toCodePoint(c, chars(i + 1))
+        out(o) = (0xf0 | (cp >> 18)).toByte
+        out(o + 1) = (0x80 | ((cp >> 12) & 0x3f)).toByte
+        out(o + 2) = (0x80 | ((cp >> 6) & 0x3f)).toByte
+        out(o + 3) = (0x80 | (cp & 0x3f)).toByte
+        o += 4
+        i += 1 // consumed the pair
+      } else {
+        // unpaired surrogate → '?' (String.getBytes(UTF_8) behavior)
+        if (Character.isSurrogate(c)) { out(o) = '?'.toByte; o += 1 }
+        else {
+          out(o) = (0xe0 | (c >> 12)).toByte
+          out(o + 1) = (0x80 | ((c >> 6) & 0x3f)).toByte
+          out(o + 2) = (0x80 | (c & 0x3f)).toByte
+          o += 3
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      out, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, o, 42L)
+  }
+
+  private val emptyTextHash: Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      Array.emptyByteArray, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, 0, 42L)
+
+  /** Hot-path scan result: links + text hash, no text materialization. */
+  final case class PageScanHashed(links: Array[Link], textXxh64: Long)
+
+  def scanPageHashed(html: Array[Byte]): PageScanHashed = {
+    val s = decodeUtf8(html)
+    PageScanHashed(extractLinksFromString(s), textHashFromString(s))
   }
 }

@@ -79,15 +79,18 @@ object CrawlRound {
 
   private val emptyLinks = array().cast("array<struct<href:string,anchor:string>>")
 
-  /** Fetch-status scan: ONE fused UDF per 200 page (single UTF-8 decode →
-    * links + text); 404 rows pass through with empty links.
+  /** Fetch-status scan: ONE fused kernel per 200 page (single UTF-8 decode →
+    * links + text hash; the extracted text itself is never materialized —
+    * the engine only ships its xxhash64, and the hash kernel is pinned
+    * hash-equal to X2's extractText). 404 rows pass through with empty
+    * links.
     */
   private def scanned(df: DataFrame): DataFrame = df
-    .withColumn("scan", when(col("status") === 200, graft.functions.CanonExpressions.pageScanCol(col("html"))))
+    .withColumn("scan", when(col("status") === 200, graft.functions.CanonExpressions.pageScanHashCol(col("html"))))
     .withColumn("links", coalesce(col("scan.links"), emptyLinks))
     .withColumn("n_links", size(col("links")))
     .withColumn("text_xxh64",
-      when(col("status") === 200, xxhash64(col("scan.text"))).otherwise(lit(0L)))
+      when(col("status") === 200, col("scan.text_xxh64")).otherwise(lit(0L)))
     .drop("html", "scan")
 
   /** J2 fetch join. Returns (fetched = every admitted row with status +

@@ -145,7 +145,7 @@ object Crawler {
       .select(
         col("surt").as("parent_surt"), col("url").as("base_url"),
         col("depth").as("parent_depth"), col("score"),
-        graft.functions.CanonExpressions.pageScanCol(col("html")).as("scan"))
+        graft.functions.CanonExpressions.pageScanHashCol(col("html")).as("scan"))
       .select(col("parent_surt"), col("base_url"), col("parent_depth"),
         (col("score") / greatest(size(col("scan.links")), lit(1))).as("contrib"),
         explode(col("scan.links")).as("link"))

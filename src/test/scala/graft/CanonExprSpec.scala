@@ -55,6 +55,55 @@ class CanonExprSpec extends AnyFunSuite with SparkTestSession {
     assert(e == u)
   }
 
+  test("textHash ≡ xxhash64(extractText) — corpus + adversarial vectors") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def expected(html: String): Long = {
+      val s = UTF8String.fromString(graft.functions.Html.extractTextFromString(html))
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+    }
+    val vectors = Seq(
+      "", "   ", "plain text", "  lead and trail  ",
+      "<p>a&amp;b</p>", "&amp;&lt;&gt;&quot;&apos;&nbsp;x",
+      "a&nbsp;&nbsp;b", "&amp", "&bogus; &",
+      "<script>var x = '<p>no</p>';</script>visible<style>a{}</style>",
+      "<a href=\"x\">anchor</a> body",
+      "tab\there\nnewline\r\nend",
+      "unicode: é漢字 😀 end", // é 漢字 😀 (surrogate pair)
+      "unpaired \ud800 surrogate", "low \udc00 alone",
+      "<b>nested <i>tags</i></b> &lt;kept&gt;",
+      "<p>entity spans tags: &am<b></b>p; stays</p>")
+    vectors.foreach { v =>
+      assert(graft.functions.Html.textHashFromString(v) == expected(v),
+        s"hash mismatch for vector: ${v.take(60)}")
+    }
+    // whole corpus, via both byte entrypoints
+    val rows = pages.select(col("html")).collect()
+    rows.foreach { r =>
+      val html = r.getAs[Array[Byte]](0)
+      val viaHash = graft.functions.Html.scanPageHashed(html).textXxh64
+      val s = UTF8String.fromString(graft.functions.Html.extractText(html))
+      val exp = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      assert(viaHash == exp)
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("pageScanHash expression ≡ pageScan UDF links + xxhash64(text)") {
+    val viaHash = pages.select(col("url"),
+        CanonExpressions.pageScanHashCol(col("html")).as("s"))
+      .select(col("url"), col("s.text_xxh64"), explode(col("s.links")).as("l"))
+      .select(col("url"), col("text_xxh64"), col("l.href"), col("l.anchor"))
+      .collect().map(_.toSeq).toSet
+    val viaUdf = pages.select(col("url"), UrlFunctions.pageScanUdf(col("html")).as("s"))
+      .select(col("url"), xxhash64(col("s.text")).as("h"), explode(col("s.links")).as("l"))
+      .select(col("url"), col("h"), col("l.href"), col("l.anchor"))
+      .collect().map(_.toSeq).toSet
+    assert(viaHash == viaUdf)
+    assert(viaHash.nonEmpty, "trivially-empty comparison")
+  }
+
   test("expression pipeline runs inside whole-stage codegen (no fallback)") {
     val df = pages.select(col("url"),
         CanonExpressions.pageScanCol(col("html")).as("s"))
