@@ -59,9 +59,11 @@ class OracleEqualitySpec extends AnyFunSuite with SparkTestSession {
 
   // ---- full crawl equality under three frozen configs (FIXTURES.md §1.4) ----
   def compareCrawl(seeds: Seq[String], budget: Int, rounds: Int, tag: String,
-      broadcastFetchMaxBudget: Int = 65536): Unit = {
+      broadcastFetchMaxBudget: Int = 65536,
+      exactAntiBroadcastMaxRows: Long = 500000L): Unit = {
     val cfg = CrawlConfig(buckets = 16, roundBudget = budget, maxDepth = 10,
-      broadcastFetchMaxBudget = broadcastFetchMaxBudget)
+      broadcastFetchMaxBudget = broadcastFetchMaxBudget,
+      exactAntiBroadcastMaxRows = exactAntiBroadcastMaxRows)
     val dir = tmpDir(s"oracle-$tag")
     Crawler.crawl(spark, dir, pagesDf, robotsDf, seeds, cfg, rounds)
     val ocfg = OracleCrawler.Cfg(budget = budget, maxDepth = 10)
@@ -120,6 +122,11 @@ class OracleEqualitySpec extends AnyFunSuite with SparkTestSession {
   test("crawl equality — config 4: merge-join fetch path (no broadcast), K=40, 4 rounds") {
     compareCrawl(SyntheticWeb.seeds(web, 10), budget = 40, rounds = 4, tag = "c4",
       broadcastFetchMaxBudget = 0)
+  }
+
+  test("crawl equality — config 5: D3 distributed anti-join arm (gate=0), K=40, 5 rounds") {
+    compareCrawl(SyntheticWeb.seeds(web, 10), budget = 40, rounds = 5, tag = "c5",
+      exactAntiBroadcastMaxRows = 0L)
   }
 
   test("crawl equality — config 3: 25 seeds with dupes + messy forms, K=60, 5 rounds") {
