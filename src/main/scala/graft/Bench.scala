@@ -124,8 +124,10 @@ object Bench {
         .withColumn("host_bucket", graft.functions.UrlFunctions.hostBucket(col("host"), cfg.buckets))
         .withColumn("depth", lit(0))
         .withColumn("score", lit(1.0))
-      // warm-up (codegen + page cache) on 2%
-      Crawler.expandOnce(spark, frontierOf(2), pages, robotsBc, cfg).count()
+      // warm-up (codegen + C2-compiled kernels + page cache) on pct/5:
+      // a 2% warm-up left the first measured rep 2-3x slower than steady
+      // state (JIT), inflating run-to-run variance
+      Crawler.expandOnce(spark, frontierOf(math.max(10, pct / 5)), pages, robotsBc, cfg).count()
       val n = frontierOf(pct).count()
       val secs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -197,9 +199,10 @@ object Bench {
       // (planning, broadcast build, final single-row agg) is ~1.5s; at 50%
       // it eats ~7% of the ideal-speedup headroom, at 100% ~3%
       val pct = sys.env.getOrElse("SPARK_GRAFT_BENCH_DATAFLOW_PCT", "100").toInt
-      val (d8, ds8) = dataflowRun(loCores, corpus, web, pct)
-      val (d32, ds32) = dataflowRun(hiCores, corpus, web, pct)
-      val deff = (d32 / d8) / (hiCores.toDouble / loCores)
+      val crawlOnly = sys.env.get("SPARK_GRAFT_BENCH_CRAWL_ONLY").contains("1")
+      val (d8, ds8) = if (crawlOnly) (0.0, 0.0) else dataflowRun(loCores, corpus, web, pct)
+      val (d32, ds32) = if (crawlOnly) (0.0, 0.0) else dataflowRun(hiCores, corpus, web, pct)
+      val deff = if (crawlOnly) 0.0 else (d32 / d8) / (hiCores.toDouble / loCores)
 
       // tmpfs hygiene: corpus + per-run state live in RAM — always reclaim
       def rmTree(p: java.nio.file.Path): Unit =

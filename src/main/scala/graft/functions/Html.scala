@@ -378,8 +378,311 @@ object Html {
   /** Hot-path scan result: links + text hash, no text materialization. */
   final case class PageScanHashed(links: Array[Link], textXxh64: Long)
 
-  def scanPageHashed(html: Array[Byte]): PageScanHashed = {
-    val s = decodeUtf8(html)
-    PageScanHashed(extractLinksFromString(s), textHashFromString(s))
+  def scanPageHashed(html: Array[Byte]): PageScanHashed =
+    if (html == null) PageScanHashed(Array.empty, emptyTextHash)
+    else if (isValidUtf8(html))
+      PageScanHashed(extractLinksFromBytes(html), textHashFromBytes(html))
+    else {
+      // invalid UTF-8: the String path's replacement-char semantics are the
+      // frozen X1/X2 behavior — decode once and take the char route
+      val s = decodeUtf8(html)
+      PageScanHashed(extractLinksFromString(s), textHashFromString(s))
+    }
+
+  // ---- byte-level scanning (valid UTF-8 only) ----
+  //
+  // Every delimiter the scanners look for ('<' '>' '/' '=' quotes, the
+  // entity names, [ \t\r\n]) is ASCII, and UTF-8 guarantees no byte of a
+  // multi-byte sequence is ever < 0x80 — so scanning raw bytes visits
+  // exactly the positions the decoded-char scan would, and slicing at those
+  // positions always lands on code-point boundaries. The page is therefore
+  // never decoded at all on the hot path: only link hrefs/anchors (small)
+  // become Strings, and the text hash runs over the stripped bytes directly
+  // (identical to hashing the re-encoded decoded text, since decode∘encode
+  // is the identity on valid UTF-8). Equality with the char path is pinned
+  // by property tests; invalid UTF-8 (replacement-char semantics) falls
+  // back to the char path above.
+
+  /** Strict UTF-8 well-formedness check (RFC 3629: no overlongs, no
+    * surrogates, ≤ U+10FFFF) — single pass, no allocation.
+    */
+  private[graft] def isValidUtf8(b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else if (c < 0xc2) return false // continuation or overlong lead
+      else if (c < 0xe0) { // 2-byte
+        if (i + 1 >= n || (b(i + 1) & 0xc0) != 0x80) return false
+        i += 2
+      } else if (c < 0xf0) { // 3-byte
+        if (i + 2 >= n) return false
+        val c1 = b(i + 1) & 0xff
+        if ((c1 & 0xc0) != 0x80 || (b(i + 2) & 0xc0) != 0x80) return false
+        if (c == 0xe0 && c1 < 0xa0) return false // overlong
+        if (c == 0xed && c1 >= 0xa0) return false // surrogate
+        i += 3
+      } else if (c < 0xf5) { // 4-byte
+        if (i + 3 >= n) return false
+        val c1 = b(i + 1) & 0xff
+        if ((c1 & 0xc0) != 0x80 || (b(i + 2) & 0xc0) != 0x80 || (b(i + 3) & 0xc0) != 0x80) return false
+        if (c == 0xf0 && c1 < 0x90) return false // overlong
+        if (c == 0xf4 && c1 >= 0x90) return false // > U+10FFFF
+        i += 4
+      } else return false
+    }
+    true
+  }
+
+  private def isWsB(c: Int) = c == ' ' || c == '\t' || c == '\r' || c == '\n'
+
+  private def indexOfGt(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i < b.length) { if (b(i) == '>') return i; i += 1 }
+    -1
+  }
+
+  private def lowerB(c: Int): Int = if (c >= 'A' && c <= 'Z') c + 32 else c
+
+  private def tagAtB(b: Array[Byte], i: Int, name: String): Boolean = {
+    if (i + 1 + name.length > b.length) return false
+    if (b(i) != '<') return false
+    var j = 0
+    while (j < name.length) {
+      if (lowerB(b(i + 1 + j) & 0xff) != name.charAt(j)) return false
+      j += 1
+    }
+    val after = i + 1 + name.length
+    after >= b.length || isWsB(b(after) & 0xff) || b(after) == '>' || b(after) == '/'
+  }
+
+  private def tagAtCloseB(b: Array[Byte], i: Int, name: String): Boolean = {
+    if (i + 2 + name.length > b.length) return false
+    var j = 0
+    while (j < name.length) {
+      if (lowerB(b(i + 2 + j) & 0xff) != name.charAt(j)) return false
+      j += 1
+    }
+    val after = i + 2 + name.length
+    after >= b.length || isWsB(b(after) & 0xff) || b(after) == '>'
+  }
+
+  private def skipBlockB(b: Array[Byte], openIdx: Int, name: String): Int = {
+    var i = indexOfGt(b, openIdx)
+    if (i < 0) return b.length
+    i += 1
+    while (i < b.length) {
+      if (b(i) == '<' && i + 1 < b.length && b(i + 1) == '/' && tagAtCloseB(b, i, name)) {
+        val gt = indexOfGt(b, i)
+        return if (gt < 0) b.length else gt + 1
+      }
+      i += 1
+    }
+    b.length
+  }
+
+  private def startsWithB(b: Array[Byte], n: Int, lit: String, at: Int): Boolean = {
+    if (at + lit.length > n) return false
+    var j = 0
+    while (j < lit.length) {
+      if (b(at + j) != lit.charAt(j)) return false
+      j += 1
+    }
+    true
+  }
+
+  /** strip blocks/tags → entity decode → collapse → trim over the byte range
+    * [from, until), emitted into (buf.bytes, returned length) — the X2
+    * passes fused at byte level.
+    */
+  private def textBytes(b: Array[Byte], from: Int, until: Int, buf: ScanBuffers): Int = {
+    buf.ensureBytes(until - from)
+    val out = buf.bytes
+    // pass 1: strip
+    var n = 0
+    var i = from
+    while (i < until) {
+      val c = b(i)
+      if (c == '<') {
+        // block skipping may legitimately run past `until` in the anchor
+        // case only when the range IS the whole document; for anchor bodies
+        // the char path sees the substring, so clamp exactly the same way
+        if (tagAtBIn(b, i, until, "script")) i = skipBlockBIn(b, i, until, "script")
+        else if (tagAtBIn(b, i, until, "style")) i = skipBlockBIn(b, i, until, "style")
+        else {
+          var gt = i
+          while (gt < until && b(gt) != '>') gt += 1
+          i = if (gt >= until) until else gt + 1
+        }
+      } else { out(n) = c; n += 1; i += 1 }
+    }
+    // pass 2: entities + collapse + trim, in place (write never overtakes read)
+    var w = 0
+    var pendingSpace = false
+    i = 0
+    while (i < n) {
+      var c = out(i).toInt
+      var step = 1
+      if (c == '&') {
+        if (startsWithB(out, n, "&amp;", i)) { c = '&'; step = 5 }
+        else if (startsWithB(out, n, "&lt;", i)) { c = '<'; step = 4 }
+        else if (startsWithB(out, n, "&gt;", i)) { c = '>'; step = 4 }
+        else if (startsWithB(out, n, "&quot;", i)) { c = '"'; step = 6 }
+        else if (startsWithB(out, n, "&apos;", i)) { c = '\''; step = 6 }
+        else if (startsWithB(out, n, "&nbsp;", i)) { c = ' '; step = 6 }
+      }
+      if (c == ' ' || c == '\t' || c == '\r' || c == '\n') pendingSpace = true
+      else {
+        if (pendingSpace && w > 0) { out(w) = ' '; w += 1 }
+        pendingSpace = false
+        out(w) = c.toByte
+        w += 1
+      }
+      i += step
+    }
+    w
+  }
+
+  // range-clamped variants (anchor bodies scan a sub-range, exactly like the
+  // char path scanning a substring)
+  private def tagAtBIn(b: Array[Byte], i: Int, until: Int, name: String): Boolean = {
+    if (i + 1 + name.length > until) return false
+    if (b(i) != '<') return false
+    var j = 0
+    while (j < name.length) {
+      if (lowerB(b(i + 1 + j) & 0xff) != name.charAt(j)) return false
+      j += 1
+    }
+    val after = i + 1 + name.length
+    after >= until || isWsB(b(after) & 0xff) || b(after) == '>' || b(after) == '/'
+  }
+
+  private def tagAtCloseBIn(b: Array[Byte], i: Int, until: Int, name: String): Boolean = {
+    if (i + 2 + name.length > until) return false
+    var j = 0
+    while (j < name.length) {
+      if (lowerB(b(i + 2 + j) & 0xff) != name.charAt(j)) return false
+      j += 1
+    }
+    val after = i + 2 + name.length
+    after >= until || isWsB(b(after) & 0xff) || b(after) == '>'
+  }
+
+  private def skipBlockBIn(b: Array[Byte], openIdx: Int, until: Int, name: String): Int = {
+    var i = openIdx
+    while (i < until && b(i) != '>') i += 1
+    if (i >= until) return until
+    i += 1
+    while (i < until) {
+      if (b(i) == '<' && i + 1 < until && b(i + 1) == '/' && tagAtCloseBIn(b, i, until, name)) {
+        var gt = i
+        while (gt < until && b(gt) != '>') gt += 1
+        return if (gt >= until) until else gt + 1
+      }
+      i += 1
+    }
+    until
+  }
+
+  /** X2-hash over the whole valid-UTF-8 document without decoding it. */
+  def textHashFromBytes(b: Array[Byte]): Long = {
+    val buf = buffers.get()
+    val w = textBytes(b, 0, b.length, buf)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      buf.bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, w, 42L)
+  }
+
+  /** X2 text of a byte range as a String (anchor bodies — small). */
+  private def textOfRange(b: Array[Byte], from: Int, until: Int, buf: ScanBuffers): String = {
+    val w = textBytes(b, from, until, buf)
+    new String(buf.bytes, 0, w, StandardCharsets.UTF_8)
+  }
+
+  /** parseHref over bytes; returns (href or null, indexPastGt). */
+  private def parseHrefB(b: Array[Byte], lt: Int): (String, Int) = {
+    val n = b.length
+    var i = lt + 1
+    while (i < n && b(i) != '>' && !isWsB(b(i) & 0xff) && b(i) != '/') i += 1
+    var href: String = null
+    while (i < n && b(i) != '>') {
+      while (i < n && (isWsB(b(i) & 0xff) || b(i) == '/')) i += 1
+      if (i >= n || b(i) == '>') return (href, if (i < n) i + 1 else n)
+      val nameStart = i
+      while (i < n && b(i) != '=' && b(i) != '>' && !isWsB(b(i) & 0xff)) i += 1
+      val isHref = i - nameStart == 4 &&
+        lowerB(b(nameStart) & 0xff) == 'h' && lowerB(b(nameStart + 1) & 0xff) == 'r' &&
+        lowerB(b(nameStart + 2) & 0xff) == 'e' && lowerB(b(nameStart + 3) & 0xff) == 'f'
+      var j = i
+      while (j < n && isWsB(b(j) & 0xff)) j += 1
+      if (j < n && b(j) == '=') {
+        j += 1
+        while (j < n && isWsB(b(j) & 0xff)) j += 1
+        if (j < n && (b(j) == '"' || b(j) == '\'')) {
+          val q = b(j)
+          val vStart = j + 1
+          var k = vStart
+          while (k < n && b(k) != q) k += 1
+          if (isHref && href == null) href = new String(b, vStart, k - vStart, StandardCharsets.UTF_8)
+          i = if (k < n) k + 1 else k
+        } else {
+          val vStart = j
+          var k = vStart
+          while (k < n && !isWsB(b(k) & 0xff) && b(k) != '>') k += 1
+          if (isHref && href == null) href = new String(b, vStart, k - vStart, StandardCharsets.UTF_8)
+          i = k
+        }
+      } else {
+        if (isHref && href == null) href = ""
+        i = j
+      }
+    }
+    (href, if (i < n) i + 1 else n)
+  }
+
+  /** X1 over raw valid-UTF-8 bytes — same traversal as the char path. */
+  def extractLinksFromBytes(b: Array[Byte]): Array[Link] = {
+    val buf = buffers.get()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Link]
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val n = b.length
+    var i = 0
+    while (i < n) {
+      if (b(i) == '<') {
+        if (tagAtB(b, i, "script")) i = skipBlockB(b, i, "script")
+        else if (tagAtB(b, i, "style")) i = skipBlockB(b, i, "style")
+        else if (tagAtB(b, i, "a")) {
+          val (hrefRaw, past) = parseHrefB(b, i)
+          var j = past
+          var end = n
+          var bodyEnd = n
+          var found = false
+          while (j < n && !found) {
+            if (b(j) == '<') {
+              if (j + 1 < n && b(j + 1) == '/' && tagAtCloseB(b, j, "a")) {
+                bodyEnd = j
+                val gt = indexOfGt(b, j)
+                end = if (gt < 0) n else gt + 1
+                found = true
+              } else if (tagAtB(b, j, "a")) { bodyEnd = j; end = j; found = true }
+            }
+            if (!found) j += 1
+          }
+          if (!found) { bodyEnd = n; end = n }
+          if (hrefRaw != null && hrefRaw.nonEmpty) {
+            val href = decodeEntities(hrefRaw).trim
+            if (href.nonEmpty && !seen.contains(href)) {
+              seen += href
+              out += Link(href, textOfRange(b, past, bodyEnd, buf))
+            }
+          }
+          i = end
+        } else {
+          val gt = indexOfGt(b, i)
+          i = if (gt < 0) n else gt + 1
+        }
+      } else i += 1
+    }
+    out.toArray
   }
 }

@@ -104,6 +104,45 @@ class CanonExprSpec extends AnyFunSuite with SparkTestSession {
     assert(viaHash.nonEmpty, "trivially-empty comparison")
   }
 
+  test("byte-level scan ≡ char-level scan — corpus + adversarial byte vectors") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import graft.functions.Html
+    def reference(bytes: Array[Byte]): (Seq[(String, String)], Long) = {
+      val s = new String(bytes, UTF_8)
+      (Html.extractLinksFromString(s).toSeq.map(l => (l.href, l.anchor)),
+        Html.textHashFromString(s))
+    }
+    def check(bytes: Array[Byte], tag: String): Unit = {
+      val got = Html.scanPageHashed(bytes)
+      val (refLinks, refHash) = reference(bytes)
+      assert(got.links.toSeq.map(l => (l.href, l.anchor)) == refLinks, s"links [$tag]")
+      assert(got.textXxh64 == refHash, s"text hash [$tag]")
+    }
+    val strings = Seq(
+      "<a href=\"héllo/漢.html\">ünïcode 😀 anchor</a> täil",
+      "<p>é&amp;漢</p><a href='x'>😀</a>",
+      "<script>var s='<a href=\"no\">';</script><a href=\"yes\">ok é</a>",
+      "<a HREF=unquoted/路径>anchor</a>",
+      "<a href=\"a\">one</a><a href=\"a\">dup</a><a href=\"b\">two</a>",
+      "no links, just &lt;text&gt; &nbsp; ws\t\n collapse")
+    strings.foreach(s => check(s.getBytes(UTF_8), s.take(30)))
+    // invalid UTF-8 → must take the char-path fallback and still agree
+    val invalid = Seq(
+      Array[Byte]('<', 'a', ' ', 'h', 'r', 'e', 'f', '=', '"', 'x', '"', '>', 0xff.toByte, '<', '/', 'a', '>'),
+      Array[Byte]('a', 0xc3.toByte), // truncated 2-byte seq
+      Array[Byte]('a', 0xe0.toByte, 0x80.toByte, 0x80.toByte, 'b'), // overlong
+      Array[Byte]('a', 0xed.toByte, 0xa0.toByte, 0x80.toByte, 'b')) // surrogate
+    invalid.zipWithIndex.foreach { case (b, i) =>
+      assert(!graft.functions.Html.isValidUtf8(b), s"vector $i should be invalid")
+      check(b, s"invalid-$i")
+    }
+    assert(graft.functions.Html.isValidUtf8("é漢😀".getBytes(UTF_8)))
+    // whole corpus through both entrypoints
+    pages.select(col("html")).collect().foreach { r =>
+      check(r.getAs[Array[Byte]](0), "corpus")
+    }
+  }
+
   test("expression pipeline runs inside whole-stage codegen (no fallback)") {
     val df = pages.select(col("url"),
         CanonExpressions.pageScanCol(col("html")).as("s"))
