@@ -188,12 +188,19 @@ object SparkEntry {
       counts.where(col("n") > mean * 1.05).orderBy("l_suppkey")
     }),
 
-    // ---- A2: approx distinct (HLL++) — no exact oracle by design ----
+    // ---- A2: approx distinct (HLL++). The sketch value itself has no
+    // DuckDB analogue, so the oracled surface is the HLL error BOUND
+    // (|approx-exact|/exact ≤ 5% at default rsd 0.05 — deterministic for a
+    // fixed input) plus the exact count ----
     "q_a2_approx_distinct" -> ((s, dir) => {
       s.read.parquet(t(dir, "lineitem"))
         .groupBy("l_returnflag")
         .agg(approx_count_distinct("l_partkey").as("approx_parts"),
           countDistinct("l_partkey").cast("long").as("exact_parts"))
+        .select(col("l_returnflag"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.05).as("approx_within_5pct"),
+          col("exact_parts"))
         .orderBy("l_returnflag")
     }),
 
@@ -531,6 +538,11 @@ object SparkEntry {
       SELECT l_returnflag, l_linestatus, cast(count(*) AS BIGINT) AS n
       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""),
+
+    "q_a2_approx_distinct" -> ("""
+      SELECT l_returnflag, TRUE AS approx_within_5pct,
+             cast(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
 
     "q_a5_hotkeys" -> ("""
       WITH c AS (SELECT l_suppkey, cast(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1)
