@@ -259,11 +259,25 @@ object Bench {
            |this allocation-heavy parse pipeline). shuffle.partitions == cores
            |measured best (4x was -30%% at 32). A raw-CPU probe (32 processes,
            |pure arithmetic) scales at 0.90 efficiency on this box, so the
-           |residual full-loop gap is JVM/runtime-shared-state, not hardware:
-           |a real N→4N cluster brings N× heaps, N× GC bandwidth and N×
-           |schedulers, which one JVM cannot emulate. The dataflow row is the
-           |honest proxy for that regime and is the number the contract's
-           |>=0.8 criterion is evidenced against, per SURVEY.md §0.5.
+           |residual gap between either row and 0.90 is JVM/runtime shared
+           |state (one heap, one GC, one scheduler serving all "executors"),
+           |not hardware: a real N→4N cluster brings N× heaps, N× GC
+           |bandwidth and N× schedulers, which one JVM cannot emulate. The
+           |dataflow row is the closer proxy for that regime (SURVEY.md §0.5)
+           |and is reported alongside the full loop for the contract's ≥0.8
+           |criterion; neither reaches 0.8 in one JVM and the measured ceiling
+           |and its cause are documented here rather than tuned around.
+           |
+           |Round-over-round (driver-harness protocol, same corpus recipe):
+           |round 1 measured full-loop 6875→5242 urls/s (efficiency 0.191 —
+           |NEGATIVE scaling under the then-default 8 GiB heap) and
+           |dataflow 23.8k→63.0k (0.662). Round 2 raised absolute local[32]
+           |throughput ~+71%% (full loop) and ~+30%% (dataflow, both widths —
+           |allocation-free text-hash kernel, byte-level page scanning,
+           |broadcast-legal fetch join, 2-action round, executor-side bloom
+           |sidecars); the dataflow efficiency ratio is statistically flat
+           |because both widths gained proportionally, while full-loop
+           |efficiency rose 0.19 → 0.32.
            |""".stripMargin
       Files.createDirectories(Paths.get("BENCH"))
       Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
