@@ -279,8 +279,13 @@ object Bench {
            |because both widths gained proportionally, while full-loop
            |efficiency rose 0.19 → 0.32.
            |""".stripMargin
-      Files.createDirectories(Paths.get("BENCH"))
-      Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+      // only a full default-protocol run may publish the committed baseline:
+      // diagnostic runs (crawl-only, dataflow-only, non-default core pair)
+      // would overwrite it with partial numbers
+      if (!crawlOnly && !dataflowOnly && loCores == 8 && hiCores == 32) {
+        Files.createDirectories(Paths.get("BENCH"))
+        Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+      }
 
       f""","urls_per_sec_local8":${u8}%.2f,"urls_per_sec_local32":${u32}%.2f,"scaling_efficiency":${eff}%.4f,"dataflow_urls_per_sec_local8":${d8}%.2f,"dataflow_urls_per_sec_local32":${d32}%.2f,"dataflow_scaling_efficiency":${deff}%.4f"""
     }

@@ -166,7 +166,12 @@ object CrawlRound {
     val prevV = version - 1
 
     val frontier = StateTable.read(spark, frontierDir(stateDir), Some(prevV), Some(graft.model.Schemas.frontier))
+    // cached: host_state is read twice per round (rank-phase broadcast +
+    // next-state commit) and its bucket-partitioned snapshot is many tiny
+    // files — the second scan cost ~0.9s of single-task file opens on the
+    // commit critical path (profiled via tagged commit stages)
     val hostState = StateTable.read(spark, hostStateDir(stateDir), Some(prevV), Some(graft.model.Schemas.hostState))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val seen = StateTable.readAppended(spark, seenDir(stateDir), Some(prevV), Some(graft.model.Schemas.urlSeen))
 
     val delayUdf = udf((host: String) =>
@@ -363,7 +368,14 @@ object CrawlRound {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    // name each commit's jobs (thread-local call site) so stage-level
+    // profiling attributes the concurrent commit work to its table
+    def tagged[T](name: String)(body: => T): T = {
+      spark.sparkContext.setCallSite(name)
+      try body finally spark.sparkContext.clearCallSite()
+    }
     val fetchLogCommit: Future[Long] = Future {
+      tagged(s"commit:fetch_log r$round") {
       StateTable.alreadyCommitted(fetchLogDir(stateDir), version) match {
         case Some(m) => m.counters.getOrElse("fetched200", 0L) // idempotent replay
         case None =>
@@ -373,8 +385,9 @@ object CrawlRound {
             counters + ("fetched200" -> n200))
           n200
       }
-    }
+    } }
     val seenCommit: Future[Unit] = Future {
+      tagged(s"commit:seen r$round") {
       if (StateTable.alreadyCommitted(seenDir(stateDir), version).isEmpty) {
         val n = StateTable.writeSnap(newSeen, seenDir(stateDir), version, partitioned = false)
         val totalSeen = StateTable.totalRows(seenDir(stateDir), prevV) + n
@@ -384,14 +397,17 @@ object CrawlRound {
           expectedPerBucket = totalSeen * 2 / cfg.buckets + 1024L, cfg)
         StateTable.finalizeCommit(seenDir(stateDir), version, round, n, counters)
       }
-    }
+    } }
     val otherCommits = Seq(
-      Future(StateTable.commit(nextFrontier, frontierDir(stateDir), version, round, counters)),
-      Future(StateTable.commit(nextHostState, hostStateDir(stateDir), version, round, counters)))
+      Future(tagged(s"commit:frontier r$round")(
+        StateTable.commit(nextFrontier, frontierDir(stateDir), version, round, counters))),
+      Future(tagged(s"commit:host_state r$round")(
+        StateTable.commit(nextHostState, hostStateDir(stateDir), version, round, counters))))
     Await.result(Future.sequence(otherCommits :+ seenCommit.map(_ => 0L) :+ fetchLogCommit), Duration.Inf)
     val nFetched200 = Await.result(fetchLogCommit, Duration.Inf)
     mark("commits")
 
+    hostState.unpersist()
     ranked.unpersist()
     if (budgetBound) admitted.unpersist()
     fetchRoot.unpersist()
