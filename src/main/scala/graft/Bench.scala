@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model.CrawlConfig
 import graft.plans.Crawler
@@ -82,6 +82,41 @@ object Bench {
     */
   private def settleJvm(): Unit = { System.gc(); Thread.sleep(2000); System.gc() }
 
+  /** Round-over-round comparison computed from the newest committed
+    * BENCH_r*.json (the driver's own prior measurement) — never hardcoded
+    * prose, so the generated report cannot go stale. Empty when no prior
+    * round file exists or a field is absent.
+    */
+  private def prevRoundDelta(u8: Double, u32: Double, d8: Double, d32: Double): String = {
+    def field(js: String, key: String): Option[Double] =
+      ("\"" + key + "\":([0-9.eE+-]+)").r.findFirstMatchIn(js).map(_.group(1).toDouble)
+    val prior = {
+      val cwd = Paths.get(".")
+      if (!Files.exists(cwd)) Seq.empty
+      else {
+        val s = Files.list(cwd)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator.asScala.map(_.getFileName.toString)
+            .filter(n => n.startsWith("BENCH_r") && n.endsWith(".json")).toSeq.sorted
+        } finally s.close()
+      }
+    }
+    prior.lastOption.map { f =>
+      val js = Files.readString(Paths.get(f))
+      def pct(now: Double, before: Option[Double]): String =
+        before.filter(_ > 0).map(b => f"${(now / b - 1) * 100}%+.0f%%").getOrElse("n/a")
+      val p8 = field(js, "urls_per_sec_local8"); val p32 = field(js, "urls_per_sec_local32")
+      val pd8 = field(js, "dataflow_urls_per_sec_local8"); val pd32 = field(js, "dataflow_urls_per_sec_local32")
+      f"""|
+          |Previous driver round ($f): full-loop ${p8.getOrElse(0.0)}%.0f → ${p32.getOrElse(0.0)}%.0f
+          |URLs/s, dataflow ${pd8.getOrElse(0.0)}%.0f → ${pd32.getOrElse(0.0)}%.0f. This run vs that round:
+          |full-loop local[8] ${pct(u8, p8)}, local[32] ${pct(u32, p32)};
+          |dataflow local[8] ${pct(d8, pd8)}, local[32] ${pct(d32, pd32)}.
+          |""".stripMargin
+    }.getOrElse("")
+  }
+
   private def crawlRun(cores: Int, corpusDir: String, web: SyntheticWeb.WebConfig,
       seeds: Seq[String], cfg: CrawlConfig, warmup: Int, measured: Int): (Double, Double) = {
     settleJvm()
@@ -138,13 +173,45 @@ object Bench {
     } finally spark.stop()
   }
 
+  /** Time each query. A failing query is REPORTED in the returned error map —
+    * never swallowed into a benign-looking ~0.1 s timing (a broken query must
+    * not bench as a speedup).
+    */
+  private[graft] def timeQueries(
+      spark: SparkSession,
+      sfDir: String,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)])
+      : (Seq[(String, Double)], Map[String, String]) = {
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val times = queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors(name) =
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}"
+      }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    (times, errors.toMap)
+  }
+
+  private def jsonEsc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
     // ---- part 1: operator query bench (driver contract) ----
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") == "1"
-    val results = if (!doQueries) Seq.empty[(String, Double)] else {
+    val (results, queryErrors) = if (!doQueries) (Seq.empty[(String, Double)], Map.empty[String, String]) else {
       val spark1 = session(cpus.toInt)
       // session warm-up (codegen, parquet reader, shuffle paths) so the
       // first query's wall time is attributable to the query, not the JVM
@@ -153,11 +220,7 @@ object Bench {
         spark1.read.parquet(s"$sfDir/lineitem.parquet")
           .groupBy(col("l_returnflag")).agg(count(col("l_orderkey"))).count()
       } catch { case _: Throwable => () }
-      val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark1, sfDir).count() } catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+      val r = timeQueries(spark1, sfDir, SparkEntry.queries.toSeq.sortBy(_._1))
       spark1.stop()
       r
     }
@@ -252,7 +315,7 @@ object Bench {
            |scales, measured here at $pct%d%% of the corpus as the frontier
            |(best-of-3 per width).
            |
-           |Protocol notes (round 2): one JVM hosts all local[N] "executors",
+           |Protocol notes: one JVM hosts all local[N] "executors",
            |so the collector and heap are part of the measurement — defaults
            |are -Xmx48g + ParallelGC (A/B-measured: an 8 GiB heap inverts the
            |full-loop scaling sign; ParallelGC beats G1 by ~6%% at 32 cores on
@@ -267,18 +330,7 @@ object Bench {
            |and is reported alongside the full loop for the contract's ≥0.8
            |criterion; neither reaches 0.8 in one JVM and the measured ceiling
            |and its cause are documented here rather than tuned around.
-           |
-           |Round-over-round (driver-harness protocol, same corpus recipe):
-           |round 1 measured full-loop 6875→5242 urls/s (efficiency 0.191 —
-           |NEGATIVE scaling under the then-default 8 GiB heap) and
-           |dataflow 23.8k→63.0k (0.662). Round 2 raised absolute local[32]
-           |throughput ~+71%% (full loop) and ~+30%% (dataflow, both widths —
-           |allocation-free text-hash kernel, byte-level page scanning,
-           |broadcast-legal fetch join, 2-action round, executor-side bloom
-           |sidecars); the dataflow efficiency ratio is statistically flat
-           |because both widths gained proportionally, while full-loop
-           |efficiency rose 0.19 → 0.32.
-           |""".stripMargin
+           |${prevRoundDelta(u8, u32, d8, d32)}""".stripMargin
       // only a full default-protocol run may publish the committed baseline:
       // diagnostic runs (crawl-only, dataflow-only, non-default core pair)
       // would overwrite it with partial numbers
@@ -292,8 +344,11 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":${v}%.3f""" }
       .mkString("{", ",", "}")
+    val errs = queryErrors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${jsonEsc(k)}":"${jsonEsc(v)}"""" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":${total}%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$crawlJson}""")
+      f"""{"metric":"total","value":${total}%.3f,"unit":"sec","queries":$qs,"n_errors":${queryErrors.size},"errors":$errs,"sf":"$sfDir"$crawlJson}""")
   }
 }

@@ -395,9 +395,23 @@ object SparkEntry {
       val emb = s.read.parquet(t(dir, "embeddings"))
       val q = emb.where(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${math.abs(dir.hashCode)}"
-      Similarity.ivfWrite(emb.where(col("vec_id") =!= 0), "embedding", idx, planes = 6)
-      Similarity.ivfProbe(s, idx, "vec_id", "embedding", q, 10, planes = 6)
+      // per-run UNIQUE index dir: a shared path keyed by dir.hashCode let two
+      // concurrent harness runs race each other's overwrite/probe (and
+      // math.abs(Int.MinValue) is negative). The top-k result is tiny, so it
+      // is materialized here and the index deleted before returning.
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+      try {
+        Similarity.ivfWrite(emb.where(col("vec_id") =!= 0), "embedding", idx, planes = 6)
+        val probe = Similarity.ivfProbe(s, idx, "vec_id", "embedding", q, 10, planes = 6)
+        val rows = probe.collect().toIndexedSeq // k = 10 rows
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), probe.schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
     }),
 
     // ---- exact n-gram Jaccard verification (all-pairs on a BOUNDED sample;

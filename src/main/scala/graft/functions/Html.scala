@@ -380,11 +380,16 @@ object Html {
 
   def scanPageHashed(html: Array[Byte]): PageScanHashed =
     if (html == null) PageScanHashed(Array.empty, emptyTextHash)
-    else if (isValidUtf8(html))
+    else if (isValidUtf8(html) && !hasAsciiCaseFoldingChar(html))
       PageScanHashed(extractLinksFromBytes(html), textHashFromBytes(html))
     else {
-      // invalid UTF-8: the String path's replacement-char semantics are the
-      // frozen X1/X2 behavior — decode once and take the char route
+      // invalid UTF-8 (replacement-char semantics) or a non-ASCII char whose
+      // Character.toLowerCase lands in ASCII (U+0130 'İ'→'i', U+212A 'K'→'k' —
+      // the ONLY two such code points, pinned exhaustively by a test): the
+      // frozen X1/X2 char semantics treat e.g. <scrİpt> as a script tag, which
+      // the ASCII-only byte fold cannot see — decode once and take the char
+      // route. Both chars are vanishingly rare in real pages, so the fast
+      // path keeps its coverage.
       val s = decodeUtf8(html)
       PageScanHashed(extractLinksFromString(s), textHashFromString(s))
     }
@@ -433,6 +438,27 @@ object Html {
       } else return false
     }
     true
+  }
+
+  /** True if the bytes contain U+0130 (UTF-8 C4 B0) or U+212A (E2 84 AA) —
+    * the only code points above ASCII whose Character.toLowerCase is an ASCII
+    * letter, i.e. the only inputs where the byte scanner's ASCII-only case
+    * fold could diverge from the char path's tag-name matching. Single pass,
+    * no allocation; the '&' of the check is that both lead bytes are rare.
+    */
+  private[graft] def hasAsciiCaseFoldingChar(b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = b.length - 1
+    while (i < n) {
+      val c = b(i) & 0xff
+      if (c == 0xc4) {
+        if ((b(i + 1) & 0xff) == 0xb0) return true
+      } else if (c == 0xe2 && i + 2 < b.length) {
+        if ((b(i + 1) & 0xff) == 0x84 && (b(i + 2) & 0xff) == 0xaa) return true
+      }
+      i += 1
+    }
+    false
   }
 
   private def isWsB(c: Int) = c == ' ' || c == '\t' || c == '\r' || c == '\n'

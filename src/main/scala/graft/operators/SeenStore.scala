@@ -74,9 +74,31 @@ object SeenStore {
     bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bf.foreach(bb.putLong)
     val target = bucketFile(seenDir, v, bucket)
-    val tmp = target.resolveSibling(s"${target.getFileName}.tmp")
+    // tmp name unique PER ATTEMPT: under task retry/speculation two attempts
+    // of the same bucket may run concurrently on the shared FS — a fixed tmp
+    // name would interleave their writes and the ATOMIC_MOVE could publish a
+    // corrupted filter (bloom false negatives ⇒ P4 violation). Each attempt
+    // stages to its own file; whichever move lands last wins with complete
+    // bytes (both attempts carry identical content for a deterministic agg).
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(_.taskAttemptId.toString)
+      .getOrElse(java.util.UUID.randomUUID.toString)
+    val tmp = target.resolveSibling(s".${target.getFileName}.tmp-$attempt")
     Files.write(tmp, bb.array())
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Remove staging files a failed/lost task attempt left behind in this
+    * version's bloom dir (called at commit time, after all attempts finished).
+    */
+  private def cleanOrphanTmps(seenDir: String, v: Long): Unit = {
+    val d = bloomDir(seenDir, v)
+    if (!Files.exists(d)) return
+    val s = Files.list(d)
+    try s.iterator.asScala
+      .filter(_.getFileName.toString.contains(".tmp-"))
+      .foreach(Files.deleteIfExists(_))
+    finally s.close()
   }
 
   private def readBucketAt(seenDir: String, v: Long, bucket: Int): Option[Array[Long]] = {
@@ -187,6 +209,7 @@ object SeenStore {
           mm
         } else pm
     }
+    cleanOrphanTmps(seenDir, newVersion)
     Files.writeString(bloomDir(seenDir, newVersion).resolve("meta"), m.toString)
   }
 

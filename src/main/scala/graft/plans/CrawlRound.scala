@@ -142,6 +142,23 @@ object CrawlRound {
     * storage-partitioned join with no shuffle on seen; the flat-parquet
     * substitute pays one narrow (surt-only) shuffle.
     */
+  /** Round-over-round candidate growth a broadcast decision must survive: the
+    * gate reads the PREVIOUS round's counter (keeping the round at two driver
+    * actions), so a hub-page fan-out can multiply candidates before the gate
+    * reacts. Budgeting the broadcast at gate/margin keeps a 4× spike inside
+    * the intended driver-memory ceiling.
+    */
+  private[graft] val candidateGrowthMargin = 4L
+
+  /** D3 arm choice — fail-safe direction is DISTRIBUTED: broadcast only when
+    * the previous round's candidate counter exists and, with the growth
+    * margin, stays within the broadcast budget. A missing counter (round 1,
+    * crashed/legacy manifest) must NOT default to broadcasting an unknown
+    * probe volume through the driver.
+    */
+  private[graft] def chooseBroadcastAnti(prevCandidates: Option[Long], maxRows: Long): Boolean =
+    prevCandidates.exists(c => c <= maxRows / candidateGrowthMargin)
+
   private[graft] def exactAntiJoin(
       needExact: DataFrame,
       seen: DataFrame,
@@ -297,11 +314,12 @@ object CrawlRound {
     val needExact = cands.where(maybeSeen(col("host_bucket"), col("url_hash")))
 
     // ---- D3 exact anti-join, SIZE-GATED (adaptive: the previous round's
-    // candidate volume, from the frontier manifest, picks the arm) ----
+    // candidate volume, from the frontier manifest, picks the arm; missing
+    // counter or spike headroom exceeded → distributed, the fail-safe arm) ----
     val prevCandidates = StateTable.manifest(frontierDir(stateDir), prevV)
-      .flatMap(_.counters.get("candidates")).getOrElse(0L)
+      .flatMap(_.counters.get("candidates"))
     val resolvedNew =
-      exactAntiJoin(needExact, seen, prevCandidates <= cfg.exactAntiBroadcastMaxRows)
+      exactAntiJoin(needExact, seen, chooseBroadcastAnti(prevCandidates, cfg.exactAntiBroadcastMaxRows))
     val newEntries = definitelyNew.unionByName(resolvedNew)
       .persist(StorageLevel.MEMORY_AND_DISK)
 

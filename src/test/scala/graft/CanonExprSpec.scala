@@ -124,7 +124,14 @@ class CanonExprSpec extends AnyFunSuite with SparkTestSession {
       "<script>var s='<a href=\"no\">';</script><a href=\"yes\">ok é</a>",
       "<a HREF=unquoted/路径>anchor</a>",
       "<a href=\"a\">one</a><a href=\"a\">dup</a><a href=\"b\">two</a>",
-      "no links, just &lt;text&gt; &nbsp; ws\t\n collapse")
+      "no links, just &lt;text&gt; &nbsp; ws\t\n collapse",
+      // non-ASCII chars whose Character.toLowerCase IS an ASCII letter:
+      // the frozen char semantics see <scrİpt> as a script tag; the
+      // ASCII-only byte fold cannot — these must route to the char path
+      "<scrİpt>hidden('<a href=\"no\">')</scrİpt><a href=\"yes\">ok</a>",
+      "<SCRİPT>x</SCRİPT>visible", // İ in both open and close tag
+      "<a İd=1 href=\"k\">kelvin K anchor</a>",
+      "<styLE>a{}</style><stİle>not a style tag</stİle>")
     strings.foreach(s => check(s.getBytes(UTF_8), s.take(30)))
     // invalid UTF-8 → must take the char-path fallback and still agree
     val invalid = Seq(
@@ -141,6 +148,21 @@ class CanonExprSpec extends AnyFunSuite with SparkTestSession {
     pages.select(col("html")).collect().foreach { r =>
       check(r.getAs[Array[Byte]](0), "corpus")
     }
+  }
+
+  test("U+0130 and U+212A are the ONLY non-ASCII chars that case-fold to ASCII") {
+    // pins the completeness of Html.hasAsciiCaseFoldingChar: if a future JDK
+    // Unicode update adds a third such char, this fails loudly rather than
+    // letting the byte scanner silently diverge from the char semantics
+    val folding = (0x80 to 0xFFFF).filter { cp =>
+      val lc = Character.toLowerCase(cp.toChar)
+      lc < 0x80
+    }
+    assert(folding == Seq(0x0130, 0x212A), s"unexpected ASCII-folding chars: $folding")
+    // supplementary planes: code-point API (the char path never sees these as
+    // single chars, but pin the property anyway)
+    val supp = (0x10000 to 0x10FFFF).filter(cp => Character.toLowerCase(cp) < 0x80)
+    assert(supp.isEmpty, s"supplementary ASCII-folding code points: $supp")
   }
 
   test("expression pipeline runs inside whole-stage codegen (no fallback)") {

@@ -130,6 +130,23 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
   }
 
+  test("D3 gate: missing counter or candidate spike picks the distributed arm") {
+    import graft.plans.CrawlRound.{candidateGrowthMargin, chooseBroadcastAnti}
+    val gate = 500000L
+    // round 1 / crashed manifest: no counter → NEVER broadcast an unknown volume
+    assert(!chooseBroadcastAnti(None, gate))
+    // within budget with 4x spike headroom → broadcast
+    assert(chooseBroadcastAnti(Some(gate / candidateGrowthMargin), gate))
+    assert(chooseBroadcastAnti(Some(0L), gate))
+    // a candidate explosion (counter above gate/margin): a 4x hub fan-out
+    // could exceed the broadcast budget before the lagging gate reacts →
+    // distributed arm
+    assert(!chooseBroadcastAnti(Some(gate / candidateGrowthMargin + 1), gate))
+    assert(!chooseBroadcastAnti(Some(gate * 10), gate))
+    // a zero gate (config c5) forces the distributed arm for any volume
+    assert(!chooseBroadcastAnti(Some(1L), 0L))
+  }
+
   test("IVF probe: partition-pruned scan, brute-force agreement within LSH recall") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)

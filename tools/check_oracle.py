@@ -67,6 +67,11 @@ def main(sf_dir, out_dir):
             diffs = [i for i, (a, b) in enumerate(zip(sr, dr)) if a != b]
             print(f"FAIL  {q:28s} {len(diffs)} differing rows; first: \n  spark={sr[diffs[0]]}\n  duck ={dr[diffs[0]]}")
             n_bad += 1
+        elif len(sr) == 0:
+            # both sides empty: the equality is vacuous — treat as failure so
+            # a fixture/threshold change cannot silently defang an oracle
+            print(f"FAIL  {q:28s} VACUOUS: oracled query matches on zero rows")
+            n_bad += 1
         else:
             print(f"OK    {q:28s} rows={len(sr)}")
             n_ok += 1
