@@ -17,15 +17,19 @@ import graft.sources.StateTable
   *
   * {{{
   * read frontier@v, host_state@v, url_seen@v          (S3, time-travel reads)
-  * → J4 host_state join → T1 token refill (lazy refill is exact: the burst
-  *   cap commutes with linear refill, so per-admission updates suffice)
-  * → W1 per-host rank (depth ASC, score DESC, surt ASC) → W2 admit ≤ ⌊tokens⌋
-  * → O2 global budget K           (TakeOrderedAndProject — no full sort)
+  * → W1/W2 bounded top-⌈burst⌉ per-host aggregation   [shuffle: ≤cap×hosts
+  *   pre-aggregated items — the frontier itself is never shuffled or sorted]
+  * → J4 host_state join + T1 token refill ON THE PER-HOST AGGREGATE (two
+  *   per-host tables — broadcast ≤64k hosts, still frontier-shuffle-free
+  *   above; lazy refill is exact: the burst cap commutes with linear refill)
+  * → admit = per-host prefix of length ⌊tokens⌋ ≤ ⌈burst⌉
+  * → O2 global budget K on the ≤K·ish admitted set   (TakeOrderedAndProject)
   * → J2 fetch join against pages on url               [shuffle: by url]
   * → X1 links → explode → U6 resolve → U2/U4 canon → P1 valid → P2 robots
   * → D1 in-batch dedup + A3 OPIC sum                  [shuffle: by surt]
   * → D2 bloom prefilter (map-side) → D3 exact anti-join vs url_seen
-  * → O3 union carried frontier → commit snapshots v+1 (S4) + counters (M1)
+  * → O3 carried = frontier broadcast-anti admitted (narrow scan, no shuffle)
+  * → union new → commit snapshots v+1 (S4, FLAT — no write repartition)
   * }}}
   *
   * Scale notes baked in: `pages` is only touched through (url, html) — column
@@ -36,8 +40,8 @@ import graft.sources.StateTable
   * join, which Spark silently drops); the seen set is an append-only snapshot
   * table; the bloom prefilter (per-bucket sidecars, loaded lazily on the
   * executors) keeps the exact anti-join's probe side at (new ∪ false
-  * positives); candidates are repartitioned by host_bucket; AQE handles small
-  * rounds and is the skew backstop behind explicit hot-host salting.
+  * positives); AQE handles small rounds and is the skew backstop behind
+  * explicit hot-host salting.
   *
   * Driver-action diet (M1): a round runs exactly TWO serial driver actions —
   * the admission count (which also materializes the ranked frontier cache)
@@ -132,6 +136,45 @@ object CrawlRound {
       (all, all.where(col("status") === 200), all)
     }
 
+  /** T1+W1+W2 admission without shuffling or sorting the frontier (round-2
+    * verdict #1). The bounded top-⌈burst⌉ aggregation runs FIRST over the raw
+    * frontier (map-side partials bound the exchange at cap items per host per
+    * input partition); host_state + token refill then join onto the per-host
+    * aggregate — a join between two per-host tables, broadcast when the host
+    * table is small, and frontier-shuffle-free either way. The admitted set of
+    * a host is the length-⌊tokens⌋ prefix of its ascending top array — `cap ≥
+    * ⌊tokens⌋` always (`AdmitTopK.capFor`), so the prefix is exactly the rows
+    * the old full-frontier window rank admitted.
+    *
+    * Returns admission candidates (pre-global-budget) with the columns the
+    * fetch join ([[fetchJoin]]) and the host-state update need.
+    */
+  private[graft] def admitCandidates(
+      frontier: DataFrame,
+      hostStateSlim: DataFrame,
+      broadcastHostState: Boolean,
+      delayOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      cfg: CrawlConfig,
+      round: Long): DataFrame = {
+    val agg = udaf(new AdmitTopK(AdmitTopK.capFor(cfg.burstTokens)))
+    val topc = frontier.groupBy(col("host"))
+      .agg(agg(col("surt"), col("url"), col("host_bucket"), col("depth"), col("score")).as("top"))
+    val hs = if (broadcastHostState) broadcast(hostStateSlim) else hostStateSlim
+    topc.join(hs, Seq("host"), "left")
+      .withColumn("delay", delayOf(col("host")))
+      .withColumn("tokens_refilled", least(
+        lit(cfg.burstTokens),
+        coalesce(col("tokens"), lit(cfg.initialTokens)) +
+          (lit(round) - coalesce(col("last_round"), lit(round - 1))) / col("delay")))
+      .withColumn("k", greatest(floor(col("tokens_refilled")), lit(0L)).cast("int"))
+      .select(col("host"), col("tokens_refilled"), col("delay"),
+        explode(slice(col("top"), lit(1), col("k"))).as("e"))
+      .select(
+        col("e.surt").as("surt"), col("e.url").as("url"), col("host"),
+        col("e.host_bucket").as("host_bucket"), col("e.depth").as("depth"),
+        col("e.score").as("score"), col("tokens_refilled"), col("delay"))
+  }
+
   /** D3 exact anti-join of the bloom-positive probe set against the seen
     * set. Small probe (viaBroadcast): semi-reduce the big seen side with the
     * probe set broadcast BOTH ways, so seen is only ever scanned (narrow
@@ -206,37 +249,22 @@ object CrawlRound {
     }
 
     // ---- T1 token refill + W1/W2 politeness admission + O2 global budget.
-    // host_state is per-host (small) → broadcast; the frontier never shuffles
-    // for this join ----
+    // Bounded top-⌈burst⌉ aggregation instead of a window rank: the frontier
+    // is scanned, never shuffled or sorted (see admitCandidates) ----
     val hostStateSlim = hostState.select(col("host"), col("tokens"), col("last_round"))
-    val withTokens = frontier
-      .join(
-        if (StateTable.manifest(hostStateDir(stateDir), prevV).forall(_.nRows <= 65536))
-          broadcast(hostStateSlim)
-        else hostStateSlim, // many hosts → shuffle join (both sides parallel)
-        Seq("host"), "left")
-      .withColumn("delay", delayUdf(col("host")))
-      .withColumn("tokens_refilled", least(
-        lit(cfg.burstTokens),
-        coalesce(col("tokens"), lit(cfg.initialTokens)) +
-          (lit(round) - coalesce(col("last_round"), lit(round - 1))) / col("delay")))
-
-    // ordering key as a sortable struct so the admission boundary is a value:
-    // (depth ASC, scoreKey DESC, surt ASC) ≡ lexicographic (depth, -sk, surt)
-    val wHost = Window.partitionBy("host")
-      .orderBy(col("depth").asc, scoreKey(col("score")).desc, col("surt").asc)
-    val ranked = withTokens
-      .withColumn("rn", row_number().over(wHost))
-      .withColumn("ord", struct(col("depth"), (-scoreKey(col("score"))).as("nsk"), col("surt")))
+    val admitCand = admitCandidates(
+        frontier, hostStateSlim,
+        StateTable.manifest(hostStateDir(stateDir), prevV).forall(_.nRows <= 65536),
+        delayUdf(_), cfg, round)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val admitCand = ranked.where(col("rn") <= floor(col("tokens_refilled")))
     // In the politeness-bound regime (token admissions ≤ K, the steady state)
     // the global budget never binds — skip the top-K entirely, avoiding its
     // single-task merge of numPartitions × K rows. Only a budget-bound round
-    // pays for the exact global order-limit. This count is also the action
-    // that materializes the ranked-frontier cache.
+    // pays for the exact global order-limit — now over the ≤(cap×hosts)
+    // candidate set, not the frontier. This count is also the action that
+    // materializes the admission cache.
     val nAdmitCand = admitCand.count()
-    mark("rank+admit")
+    mark("admit")
     val budgetBound = nAdmitCand > cfg.roundBudget
     val admitted = (if (!budgetBound) admitCand
       else admitCand
@@ -303,7 +331,6 @@ object CrawlRound {
         col("score"),
         lit(round).as("discovered_round"),
         col("f.ps").as("parent_surt"))
-      .repartition(cfg.buckets, col("host_bucket"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- D2 bloom fast path: per-bucket sidecar filters loaded lazily ON
@@ -323,24 +350,15 @@ object CrawlRound {
     val newEntries = definitelyNew.unionByName(resolvedNew)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // ---- O3 next frontier = (frontier − admitted) ∪ new. NO anti-join:
-    // admission is rank ≤ ⌊tokens⌋ AND ord ≤ the global-K boundary value
-    // (the max ordering tuple among admitted — a total order, surt unique),
-    // so carried falls out of the already-windowed, already-cached frontier.
-    val carried =
-      if (!budgetBound) ranked.where(!(col("rn") <= floor(col("tokens_refilled"))))
-      else {
-        val thRow = admitted.agg(max(col("ord"))).head()
-        if (thRow.isNullAt(0)) ranked
-        else {
-          val th = thRow.getStruct(0)
-          val thLit = struct(
-            lit(th.getInt(0)).as("depth"),
-            lit(th.getLong(1)).as("nsk"),
-            lit(th.getString(2)).as("surt"))
-          ranked.where(!(col("rn") <= floor(col("tokens_refilled")) && col("ord") <= thLit))
-        }
-      }
+    // ---- O3 next frontier = (frontier − admitted) ∪ new. carried = a narrow
+    // broadcast left_anti of the frontier scan against the ≤K admitted surts
+    // (admitted ≤ roundBudget always) — no shuffle, no sort, fuses into the
+    // frontier scan's codegen stage. A budget larger than the broadcast gate
+    // falls back to the distributed anti-join, the same trade as D3.
+    val admittedKeys = admitted.select("surt")
+    val carried = frontier.join(
+      if (nAdmitted <= cfg.exactAntiBroadcastMaxRows) broadcast(admittedKeys) else admittedKeys,
+      Seq("surt"), "left_anti")
     val nextFrontier = carried.select(frontierCols.map(col): _*)
       .unionByName(newEntries.select(frontierCols.map(col): _*))
 
@@ -417,8 +435,14 @@ object CrawlRound {
       }
     } }
     val otherCommits = Seq(
+      // FLAT frontier snapshot: partitionBy(host_bucket) forced a full
+      // repartition of the next frontier every round (the second of the two
+      // full-frontier shuffles the round-2 verdict flagged); nothing prunes
+      // the frontier by bucket — the round always reads all of it — so the
+      // layout bought nothing the engine uses
       Future(tagged(s"commit:frontier r$round")(
-        StateTable.commit(nextFrontier, frontierDir(stateDir), version, round, counters))),
+        StateTable.commit(nextFrontier, frontierDir(stateDir), version, round, counters,
+          partitioned = false))),
       Future(tagged(s"commit:host_state r$round")(
         StateTable.commit(nextHostState, hostStateDir(stateDir), version, round, counters))))
     Await.result(Future.sequence(otherCommits :+ seenCommit.map(_ => 0L) :+ fetchLogCommit), Duration.Inf)
@@ -426,7 +450,7 @@ object CrawlRound {
     mark("commits")
 
     hostState.unpersist()
-    ranked.unpersist()
+    admitCand.unpersist()
     if (budgetBound) admitted.unpersist()
     fetchRoot.unpersist()
     cands.unpersist()

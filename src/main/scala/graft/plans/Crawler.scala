@@ -53,7 +53,8 @@ object SeedInjector {
         lit("").as("parent_surt"))
 
     val n = frontier0.count()
-    StateTable.commit(frontier0, CrawlRound.frontierDir(stateDir), 0L, 0L, Map("seeds" -> n))
+    StateTable.commit(frontier0, CrawlRound.frontierDir(stateDir), 0L, 0L, Map("seeds" -> n),
+      partitioned = false) // frontier snapshots are flat (see CrawlRound S4 notes)
 
     // bloom sidecars land BETWEEN the data write and the manifest/CURRENT
     // publish: a committed seen version always has complete sidecars
@@ -118,26 +119,26 @@ object Crawler {
   }
 
   /** One frontier-expansion dataflow as a SINGLE declarative plan, no state
-    * IO: rank per host → admit → fetch join → extract → resolve+canon+SURT →
-    * in-batch dedup + OPIC. Used by the scaling bench to measure the engine's
-    * pure dataflow (what a cluster actually parallelizes) separately from
-    * snapshot-commit orchestration.
+    * IO: fetch join → extract → resolve+canon+SURT → in-batch dedup + OPIC
+    * over the whole probe frontier. Used by the scaling bench to measure the
+    * engine's pure dataflow (what a cluster actually parallelizes) separately
+    * from snapshot-commit orchestration.
+    *
+    * Protocol note (round 3): the per-host window rank the probe used to
+    * include is GONE because the engine no longer ranks the frontier — the
+    * round's admission is the bounded [[AdmitTopK]] aggregation over ≤⌈burst⌉
+    * rows per host, whose cost the full-loop bench carries. The probe admits
+    * every frontier URL so the measured volume stays the frontier size.
     */
   def expandOnce(
       spark: SparkSession,
       frontier: DataFrame,
       pages: DataFrame,
       robotsBc: org.apache.spark.broadcast.Broadcast[Map[String, RobotsPolicy]],
-      cfg: CrawlConfig,
-      perHostCap: Int = 1000000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      cfg: CrawlConfig): DataFrame = {
     val allowPathUdf = udf((host: String, path: String) =>
       robotsBc.value.get(host).forall(_.allows(path)))
-    val wHost = Window.partitionBy("host")
-      .orderBy(col("depth").asc, CrawlRound.scoreKey(col("score")).desc, col("surt").asc)
     val admitted = frontier
-      .withColumn("rn", row_number().over(wHost))
-      .where(col("rn") <= perHostCap)
       .select("surt", "url", "host", "host_bucket", "depth", "score")
     pages.select(col("url"), col("html"))
       .join(admitted.hint("merge"), Seq("url"), "right_outer")

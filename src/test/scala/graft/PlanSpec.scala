@@ -130,6 +130,72 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
   }
 
+  test("admission: bounded top-k agg ≡ window rank; no Window/Sort/frontier shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.CrawlRound
+    import graft.sources.StateTable
+    val dir = tmpDir("admit")
+    // frontier with >cap rows per host, duplicate (depth, score) pairs to
+    // exercise the surt tie-break, and hosts at k = 0 / 1 / 2 / default
+    val rows = (for { h <- 0 until 20; i <- 0 until 15 } yield (
+      f"host$h)/p$i%02d", s"http://host$h/p$i", s"host$h", h % 4, (h * 100 + i).toLong,
+      i % 3, 1.0 / (i % 5 + 1), 0L, "")) ++
+      (0 until 20).flatMap(h => Seq(
+        (s"host$h)/tie_a", s"http://host$h/ta", s"host$h", h % 4, 9000L + h, 0, 0.125, 0L, ""),
+        (s"host$h)/tie_b", s"http://host$h/tb", s"host$h", h % 4, 9100L + h, 0, 0.125, 0L, "")))
+    StateTable.commit(rows.toDF(CrawlRound.frontierCols: _*), dir, 0L, 0L, partitioned = false)
+    val frontier = StateTable.read(spark, dir, Some(0L), Some(graft.model.Schemas.frontier))
+    val hs = Seq(("host0", 0.2, 2L), ("host1", 1.2, 1L), ("host2", 0.5, 1L))
+      .toDF("host", "tokens", "last_round") // k = 0 / 2 / 1; others default → 2
+    val cfg = graft.model.CrawlConfig()
+    val round = 2L
+    val admitCand = CrawlRound.admitCandidates(
+      frontier, hs, broadcastHostState = true, _ => lit(1.0), cfg, round)
+
+    // reference: the pre-round-3 full-frontier window formulation
+    val withTokens = frontier.join(broadcast(hs), Seq("host"), "left")
+      .withColumn("delay", lit(1.0))
+      .withColumn("tokens_refilled", least(lit(cfg.burstTokens),
+        coalesce(col("tokens"), lit(cfg.initialTokens)) +
+          (lit(round) - coalesce(col("last_round"), lit(round - 1))) / col("delay")))
+    val wHost = Window.partitionBy("host")
+      .orderBy(col("depth").asc, CrawlRound.scoreKey(col("score")).desc, col("surt").asc)
+    val ref = withTokens.withColumn("rn", row_number().over(wHost))
+      .where(col("rn") <= floor(col("tokens_refilled")))
+      .select("surt", "url", "host", "host_bucket", "depth", "score", "tokens_refilled", "delay")
+    val got = admitCand.collect().map(_.toSeq).toSet
+    assert(got == ref.collect().map(_.toSeq).toSet, "agg admission ≠ window admission")
+    assert(got.nonEmpty && !got.exists(_(2) == "host0"), "k=0 host must admit nothing")
+    assert(got.count(_(2) == "host2") == 1 && got.count(_(2) == "host1") == 2)
+
+    // the plan must contain NO window and NO sort; the only exchange input is
+    // the partially-aggregated ≤cap-per-host buffers, never raw frontier rows
+    val plan = executed(admitCand)
+    assert(!plan.contains("Window"), s"window survived:\n$plan")
+    assert(!plan.contains("Sort "), s"sort survived:\n$plan")
+    assert(plan.split("ObjectHashAggregate").length >= 3,
+      s"missing partial aggregation phase:\n$plan")
+
+    // carried: broadcast anti-join — the frontier side (the anti-join's left
+    // subtree) is a bare scan: zero shuffle, zero sort. (The broadcast BUILD
+    // side legitimately contains the admission agg's tiny pre-aggregated
+    // exchange — that is not the frontier.)
+    val carried = frontier.join(broadcast(admitCand.select("surt")), Seq("surt"), "left_anti")
+    val cplan = executed(carried)
+    assert(!cplan.contains("Sort "), s"carried sorts:\n$cplan")
+    val finalSection = cplan.split("== Initial Plan ==").head
+    val lines = finalSection.linesIterator.toSeq
+    val joinIdx = lines.indexWhere(_.contains("LeftAnti"))
+    assert(joinIdx >= 0, s"no broadcast anti-join:\n$cplan")
+    val leftSub = lines.drop(joinIdx + 1).takeWhile(_.trim.startsWith(":"))
+    assert(leftSub.exists(_.contains("FileScan")), s"no frontier scan in left subtree:\n$cplan")
+    assert(!leftSub.exists(l =>
+      l.contains("Exchange") || l.contains("ShuffleQueryStage") || l.contains("Sort ")),
+      s"carried shuffles or sorts the frontier:\n$cplan")
+    assert(carried.count() + admitCand.count() == frontier.count())
+  }
+
   test("D3 gate: missing counter or candidate spike picks the distributed arm") {
     import graft.plans.CrawlRound.{candidateGrowthMargin, chooseBroadcastAnti}
     val gate = 500000L
