@@ -110,7 +110,18 @@ final case class CrawlConfig(
     // ≈500k surts ≈ 30-50 MB broadcast — beyond that the double-broadcast
     // trick costs more driver heap + serial build time than the narrow
     // surt-only shuffle of the distributed arm
-    exactAntiBroadcastMaxRows: Long = 500000L)
+    exactAntiBroadcastMaxRows: Long = 500000L,
+    // append-chain compaction: fold the seen (and, under retention, the
+    // fetch-log) delta chain into one compacted snapshot once the chain has
+    // this many deltas AND the geometric row condition holds
+    // (StateTable.shouldCompact — amortized O(1) writes per row, hard
+    // directory bound at 8x). 0 disables compaction.
+    compactEvery: Int = 8,
+    // snapshot retention window in versions (Iceberg expire_snapshots
+    // analogue): versions no retained read references are GC'd after each
+    // round. 0 keeps all history (full time travel — the test default);
+    // >= 2 required when enabled so concurrent-commit resume stays safe.
+    retentionVersions: Int = 0)
 
 object Schemas {
   val pages: StructType = StructType(Seq(

@@ -187,10 +187,18 @@ object SeenStore {
       delta: DataFrame,
       fullSeen: => DataFrame,
       expectedPerBucket: Long,
-      cfg: CrawlConfig): Unit = {
+      cfg: CrawlConfig,
+      forceFull: Boolean = false): Unit = {
     val wantM = Bloom64.optimalBits(math.max(1024L, expectedPerBucket), cfg.bloomFpp)
     val prevM = prevVersion.flatMap(latestBits(seenDir, _))
-    val m = prevM match {
+    val m = if (forceFull) {
+      // compaction rounds force a full rebuild: every non-empty bucket gets a
+      // file AT this version, so bloom dirs below a compacted base are fully
+      // shadowed and become GC-able together with their data snapshots
+      val mm = math.max(wantM, prevM.getOrElse(wantM))
+      buildWrite(fullSeen, mm, seenDir, newVersion, mergeUpTo = None)
+      mm
+    } else prevM match {
       case None =>
         // no usable chain: rebuild from the FULL seen set (delta alone would
         // under-cover when prior seen versions exist — fail-safe rebuild)
@@ -212,6 +220,22 @@ object SeenStore {
     cleanOrphanTmps(seenDir, newVersion)
     Files.writeString(bloomDir(seenDir, newVersion).resolve("meta"), m.toString)
   }
+
+  /** GC the bloom sidecar dirs of expired data versions. Only called with
+    * versions StateTable.expire already deleted — i.e. versions below a
+    * compacted base, whose forceFull rebuild gives every non-empty bucket a
+    * file at the base, so no retained probe can resolve to a deleted file.
+    */
+  def expireBloom(seenDir: String, deadVersions: Seq[Long]): Unit =
+    deadVersions.foreach { v =>
+      val d = bloomDir(seenDir, v)
+      if (Files.exists(d)) {
+        val s = Files.walk(d)
+        try s.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator.asScala.foreach(Files.deleteIfExists(_))
+        finally s.close()
+      }
+    }
 
   /** Map-side probe column: true ⇒ maybe seen (must hit exact anti-join).
     * Loads only the probed bucket's filter, lazily, on the executor that

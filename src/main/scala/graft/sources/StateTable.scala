@@ -31,12 +31,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StateTable {
 
+  /** `compactedThrough == version` marks a COMPACTED snapshot: its data files
+    * hold the union of every delta ≤ version (an Iceberg rewrite-data-files
+    * analogue, committed as a normal append-mode snapshot so history is never
+    * mutated); -1 on plain deltas and full-snapshot tables.
+    */
   final case class Manifest(
       version: Long,
       round: Long,
       nRows: Long,
       counters: Map[String, Long],
-      parent: Long)
+      parent: Long,
+      compactedThrough: Long = -1L)
 
   private def logDir(dir: String): Path = Paths.get(dir, "_log")
   private def currentFile(dir: String): Path = logDir(dir).resolve("CURRENT")
@@ -130,7 +136,10 @@ object StateTable {
 
   /** Read an APPEND-mode table at `version`: the union of all committed
     * deltas ≤ version (Iceberg-style append commits — the seen set and the
-    * fetch log never rewrite history; a round only adds its delta).
+    * fetch log never rewrite history; a round only adds its delta). When a
+    * compacted snapshot ≤ version exists, the chain starts THERE: one
+    * compacted base + the deltas after it, so the read plans O(rounds since
+    * compaction) directories instead of O(rounds).
     */
   def readAppended(
       spark: SparkSession,
@@ -139,10 +148,26 @@ object StateTable {
       schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val v = version.orElse(currentVersion(dir))
       .getOrElse(throw new IllegalStateException(s"no committed snapshot in $dir"))
-    val vs = versions(dir).filter(_ <= v)
+    val vs = chainAt(dir, v)
     require(vs.nonEmpty, s"no committed snapshot ≤ $v in $dir")
     readPaths(spark, vs.map(snapPath(dir, _)), schema)
   }
+
+  /** The snapshot versions a read at `v` must union: the newest compacted
+    * base ≤ v (if any) plus every delta after it.
+    */
+  private[graft] def chainAt(dir: String, v: Long): Seq[Long] = {
+    val all = versions(dir).filter(_ <= v)
+    compactedBase(dir, v) match {
+      case Some(b) => all.filter(_ >= b)
+      case None => all
+    }
+  }
+
+  /** Newest version ≤ v whose snapshot is compacted (holds the union ≤ it). */
+  private[graft] def compactedBase(dir: String, v: Long): Option[Long] =
+    versions(dir).filter(_ <= v).reverse
+      .find(bv => manifest(dir, bv).exists(_.compactedThrough == bv))
 
   /** Append-mode commit: snap-<v> holds ONLY this version's delta, written
     * flat (no partition dirs) so the whole chain reads in a single pass.
@@ -208,16 +233,21 @@ object StateTable {
     footerRowCount(path)
   }
 
-  /** Stage 2 of a commit: publish manifest then atomically advance CURRENT. */
+  /** Stage 2 of a commit: publish manifest then atomically advance CURRENT.
+    * `compacted = true` marks this snapshot as holding the full union ≤
+    * version (see [[Manifest.compactedThrough]]).
+    */
   def finalizeCommit(
       dir: String,
       version: Long,
       round: Long,
       nRows: Long,
-      counters: Map[String, Long] = Map.empty): Manifest = {
+      counters: Map[String, Long] = Map.empty,
+      compacted: Boolean = false): Manifest = {
     Files.createDirectories(logDir(dir))
     val logged = logDir(dir).resolve(s"$version.json")
-    val m = Manifest(version, round, nRows, counters, version - 1)
+    val m = Manifest(version, round, nRows, counters, version - 1,
+      if (compacted) version else -1L)
     Files.writeString(logged, renderManifest(m), StandardCharsets.UTF_8,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     advanceCurrent(dir, version)
@@ -234,10 +264,73 @@ object StateTable {
   }
 
   /** Total rows across the append chain ≤ version, from manifests (no IO
-    * beyond the _log dir — used for e.g. bloom sizing).
+    * beyond the _log dir — used for e.g. bloom sizing). Compaction-aware: a
+    * compacted base's nRows already counts everything ≤ it.
     */
   def totalRows(dir: String, version: Long): Long =
-    versions(dir).filter(_ <= version).flatMap(manifest(dir, _)).map(_.nRows).sum
+    chainAt(dir, version).flatMap(manifest(dir, _)).map(_.nRows).sum
+
+  /** Whether an append table should fold its delta chain into a compacted
+    * snapshot THIS commit. Geometric policy balancing the two costs:
+    * rewriting the full table too often is quadratic write amplification;
+    * never rewriting makes reads plan O(rounds) directories and blocks GC.
+    * Compact when the chain has ≥ `every` deltas AND the accumulated delta
+    * rows are ≥ 1/4 of the base (≤ ~5 rewrites per size doubling — amortized
+    * O(1) writes per row, like the bloom doubling), or unconditionally when
+    * the chain hits 8× `every` (a hard directory-count bound for the
+    * long-tail regime of many tiny deltas).
+    */
+  def shouldCompact(dir: String, prevVersion: Long, every: Int): Boolean = {
+    if (every <= 0) return false
+    val chain = chainAt(dir, prevVersion)
+    if (chain.isEmpty) return false
+    val chainLen = chain.length + 1 // + this round's delta
+    if (chainLen < every) return false
+    if (chainLen >= every * 8) return true
+    val base = compactedBase(dir, prevVersion)
+    base match {
+      case None => true // no base yet: first compaction bounds the seed chain
+      case Some(b) =>
+        val baseRows = manifest(dir, b).map(_.nRows).getOrElse(0L)
+        val deltaRows = chain.filter(_ > b).flatMap(manifest(dir, _)).map(_.nRows).sum
+        deltaRows * 4 >= baseRows
+    }
+  }
+
+  /** Snapshot expiration (Iceberg expire_snapshots analogue): delete every
+    * snapshot no read within the retention window [current-keep+1, current]
+    * can reference. Full-snapshot tables (`append = false`): any retained
+    * version reads standalone → everything older goes. Append tables: a
+    * retained read at w needs its compacted base and the deltas after it, so
+    * only versions BELOW the base serving the oldest retained version are
+    * deletable — if no such base exists, nothing is deleted (every delta is
+    * still referenced). Returns the deleted versions.
+    */
+  def expire(dir: String, keepVersions: Int, append: Boolean): Seq[Long] = {
+    require(keepVersions >= 2, "retention < 2 would break concurrent-commit resume")
+    currentVersion(dir) match {
+      case None => Seq.empty
+      case Some(cur) =>
+        val retainFrom = cur - keepVersions + 1
+        val cutoff =
+          if (!append) retainFrom
+          else compactedBase(dir, retainFrom).getOrElse(return Seq.empty)
+        val dead = versions(dir).filter(_ < cutoff)
+        dead.foreach { v =>
+          rmTree(Paths.get(snapPath(dir, v)))
+          Files.deleteIfExists(logDir(dir).resolve(s"$v.json"))
+        }
+        dead
+    }
+  }
+
+  private def rmTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator.asScala.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
 
   /** All committed versions, ascending (time-travel surface). */
   def versions(dir: String): Seq[Long] = {
@@ -259,7 +352,7 @@ object StateTable {
   private def renderManifest(m: Manifest): String = {
     val cs = m.counters.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    s"""{"version":${m.version},"round":${m.round},"n_rows":${m.nRows},"parent":${m.parent},"counters":$cs}"""
+    s"""{"version":${m.version},"round":${m.round},"n_rows":${m.nRows},"parent":${m.parent},"compacted_through":${m.compactedThrough},"counters":$cs}"""
   }
 
   private[sources] def parseManifest(s: String): Manifest = {
@@ -286,6 +379,9 @@ object StateTable {
         }.toMap
       }
     }
-    Manifest(num("version"), num("round"), num("n_rows"), counters, num("parent"))
+    // explicit -1 default: a pre-compaction manifest missing the key must not
+    // read as "compacted through version 0"
+    val ct = if (s.contains("\"compacted_through\":")) num("compacted_through") else -1L
+    Manifest(num("version"), num("round"), num("n_rows"), counters, num("parent"), ct)
   }
 }

@@ -98,6 +98,55 @@ class CrawlSpec extends AnyFunSuite with SparkTestSession {
     assert(seenA.except(seenB).count() == 0 && seenB.except(seenA).count() == 0)
   }
 
+  test("resume across a compaction boundary ≡ uninterrupted; blooms stay complete") {
+    val cfgC = cfg.copy(compactEvery = 2)
+    val dFull = tmpDir("crawl")
+    Crawler.crawl(spark, dFull, pages, robots, seeds, cfgC, 6)
+    val dPart = tmpDir("crawl")
+    Crawler.crawl(spark, dPart, pages, robots, seeds, cfgC, 3)
+    Crawler.crawl(spark, dPart, pages, robots, seeds, cfgC, 6)
+    // compaction actually happened in both runs
+    val compacted = StateTable.versions(CrawlRound.seenDir(dFull))
+      .filter(v => StateTable.manifest(CrawlRound.seenDir(dFull), v).exists(_.compactedThrough == v))
+    assert(compacted.exists(_ > 0L), "no seen compaction in 6 rounds at compactEvery=2")
+    val a = Crawler.orderedFrontier(spark, dFull).select("surt", "depth", "score").collect().toSeq
+    val b = Crawler.orderedFrontier(spark, dPart).select("surt", "depth", "score").collect().toSeq
+    assert(a == b, "resume across compaction must converge to identical frontier")
+    val seenA = StateTable.readAppended(spark, CrawlRound.seenDir(dFull)).select("surt")
+    val seenB = StateTable.readAppended(spark, CrawlRound.seenDir(dPart)).select("surt")
+    assert(seenA.except(seenB).count() == 0 && seenB.except(seenA).count() == 0)
+    // P4 after a forceFull rebuild: every seen entry still probes true
+    val v = StateTable.currentVersion(CrawlRound.seenDir(dFull)).get
+    val blooms = graft.operators.SeenStore.readAll(CrawlRound.seenDir(dFull), v)
+    StateTable.readAppended(spark, CrawlRound.seenDir(dFull))
+      .select("host_bucket", "url_hash").collect().foreach { r =>
+        assert(graft.functions.Bloom64.mightContain(blooms(r.getInt(0)), r.getLong(1)))
+      }
+  }
+
+  test("retention GC bounds history without changing crawl results") {
+    val cfgR = cfg.copy(compactEvery = 2, retentionVersions = 3)
+    val dGc = tmpDir("crawl")
+    Crawler.crawl(spark, dGc, pages, robots, seeds, cfgR, 8)
+    val (dRef, _) = runCrawl(8) // default cfg: no retention, compactEvery=8
+    // results identical to the unretained run (determinism + GC safety)
+    val a = Crawler.orderedFrontier(spark, dGc).select("surt", "depth", "score").collect().toSeq
+    val b = Crawler.orderedFrontier(spark, dRef).select("surt", "depth", "score").collect().toSeq
+    assert(a == b, "retention GC changed the frontier")
+    val seenA = StateTable.readAppended(spark, CrawlRound.seenDir(dGc)).select("surt")
+    val seenB = StateTable.readAppended(spark, CrawlRound.seenDir(dRef)).select("surt")
+    assert(seenA.except(seenB).count() == 0 && seenB.except(seenA).count() == 0)
+    // history is actually bounded: full-snapshot tables keep only the window
+    val fv = StateTable.versions(CrawlRound.frontierDir(dGc))
+    assert(fv.min >= 8 - 3 + 1, s"frontier versions not expired: $fv")
+    // the seen chain kept = base + window, strictly less than all 9 versions
+    val sv = StateTable.versions(CrawlRound.seenDir(dGc))
+    assert(sv.size < 9, s"seen versions not expired: $sv")
+    // a GC'd state dir still resumes
+    val more = Crawler.crawl(spark, dGc, pages, robots, seeds, cfgR, 10)
+    assert(more.map(_.round) == Seq(9L, 10L))
+  }
+
   test("bloom fast path never loses URLs (P4 at system level)") {
     // run with bloom disabled semantics: all candidates through exact anti-join
     // equivalence is implied by determinism + exactness tests; here check the

@@ -84,6 +84,81 @@ class StateTableSpec extends AnyFunSuite with SparkTestSession {
     assert(StateTable.manifest(dir, 1L).get.counters("x") == 7L)
   }
 
+  test("compaction: reads plan from the base; time travel below it still works") {
+    val dir = tmpDir("st")
+    StateTable.commitAppend(Seq(1).toDF("k"), dir, 0L, 0L)
+    StateTable.commitAppend(Seq(2, 3).toDF("k"), dir, 1L, 1L)
+    // v2 = compacted snapshot: full union <=2 ({1,2,3} plus v2's delta {4})
+    val n = StateTable.writeSnap(Seq(1, 2, 3, 4).toDF("k"), dir, 2L, partitioned = false)
+    StateTable.finalizeCommit(dir, 2L, 2L, n, compacted = true)
+    StateTable.commitAppend(Seq(5).toDF("k"), dir, 3L, 3L)
+    // chain at 3 = base + deltas after it, NOT the whole history
+    assert(StateTable.chainAt(dir, 3L) == Seq(2L, 3L))
+    assert(StateTable.readAppended(spark, dir, Some(3L)).as[Int].collect().sorted.toSeq == (1 to 5))
+    // no double counting across the compaction boundary
+    assert(StateTable.totalRows(dir, 3L) == 5L)
+    // time travel BELOW the base reads the original delta chain
+    assert(StateTable.readAppended(spark, dir, Some(1L)).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    // reads >= base reference nothing below it: deleting v0/v1 changes nothing
+    import scala.jdk.CollectionConverters._
+    Seq(0L, 1L).foreach { v =>
+      val p = Paths.get(StateTable.snapPath(dir, v))
+      val w = Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator.asScala.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
+    assert(StateTable.readAppended(spark, dir, Some(3L)).as[Int].collect().sorted.toSeq == (1 to 5))
+  }
+
+  test("shouldCompact: geometric policy (chain length AND delta-vs-base rows)") {
+    val dir = tmpDir("st")
+    assert(!StateTable.shouldCompact(dir, 0L, 2), "empty table")
+    StateTable.commitAppend(Seq(1, 2, 3, 4).toDF("k"), dir, 0L, 0L)
+    assert(!StateTable.shouldCompact(dir, 0L, 0), "0 disables")
+    assert(StateTable.shouldCompact(dir, 0L, 2), "no base yet + chain at cadence")
+    val n = StateTable.writeSnap(Seq(1, 2, 3, 4, 5).toDF("k"), dir, 1L, partitioned = false)
+    StateTable.finalizeCommit(dir, 1L, 1L, n, compacted = true)
+    StateTable.commitAppend(Seq(6).toDF("k"), dir, 2L, 2L)
+    // chain long enough but deltas (1 row) < base/4 (5/4) → hold back the
+    // rewrite (write-amplification guard)
+    assert(!StateTable.shouldCompact(dir, 2L, 2))
+    StateTable.commitAppend(Seq(7).toDF("k"), dir, 3L, 3L)
+    StateTable.commitAppend(Seq(8).toDF("k"), dir, 4L, 4L)
+    // 3 delta rows * 4 >= 5 base rows → compact
+    assert(StateTable.shouldCompact(dir, 4L, 2))
+  }
+
+  test("expire: retention GC never deletes a referenced snapshot") {
+    // full-snapshot table: any retained version reads standalone
+    val full = tmpDir("st")
+    (0L to 4L).foreach(v => StateTable.commit(Seq(v.toInt).toDF("k"), full, v, v))
+    assert(StateTable.expire(full, keepVersions = 2, append = false) == Seq(0L, 1L, 2L))
+    assert(StateTable.versions(full) == Seq(3L, 4L))
+    assert(StateTable.read(spark, full, Some(3L)).count() == 1)
+    assert(StateTable.read(spark, full, Some(4L)).count() == 1)
+
+    // append table WITHOUT a compacted base: every delta is referenced → no-op
+    val noBase = tmpDir("st")
+    (0L to 3L).foreach(v => StateTable.commitAppend(Seq(v.toInt).toDF("k"), noBase, v, v))
+    assert(StateTable.expire(noBase, keepVersions = 2, append = true).isEmpty)
+    assert(StateTable.versions(noBase) == Seq(0L, 1L, 2L, 3L))
+
+    // append table with a base at v2: only versions below the base die
+    val app = tmpDir("st")
+    StateTable.commitAppend(Seq(1).toDF("k"), app, 0L, 0L)
+    StateTable.commitAppend(Seq(2).toDF("k"), app, 1L, 1L)
+    val n = StateTable.writeSnap(Seq(1, 2, 3).toDF("k"), app, 2L, partitioned = false)
+    StateTable.finalizeCommit(app, 2L, 2L, n, compacted = true)
+    StateTable.commitAppend(Seq(4).toDF("k"), app, 3L, 3L)
+    StateTable.commitAppend(Seq(5).toDF("k"), app, 4L, 4L)
+    assert(StateTable.expire(app, keepVersions = 2, append = true) == Seq(0L, 1L))
+    assert(StateTable.readAppended(spark, app, Some(4L)).as[Int].collect().sorted.toSeq == (1 to 5))
+    assert(StateTable.readAppended(spark, app, Some(3L)).as[Int].collect().sorted.toSeq == (1 to 4))
+    // idempotent: a second pass finds nothing more to delete
+    assert(StateTable.expire(app, keepVersions = 2, append = true).isEmpty)
+  }
+
   test("host_bucket column triggers partitioned layout (directory pruning)") {
     val dir = tmpDir("st")
     val df = Seq(("a", 0), ("b", 1), ("c", 1)).toDF("surt", "host_bucket")
