@@ -365,9 +365,15 @@ object SparkEntry {
           "doc_id", "text", k = 3, m = 64, bands = 16, threshold = 0.5)
         .orderBy("a", "b")
     }),
+    // maxDist = 6 (not 10): with a 64-bit sketch, exact-recall banding gives
+    // each of the maxDist+1 bands 64/(d+1) bits — at d=10 that is ~6-bit
+    // bands whose 2^-6 collision rate makes candidate volume quadratic-ish
+    // at scale. d=6 keeps 9-bit bands (2^-9 noise) while still covering the
+    // near-dup hamming radius of this corpus; larger radii on 64-bit
+    // sketches intrinsically trade recall bandwidth for candidate volume.
     "q_dedup_simhash" -> ((s, dir) => {
       TextDedup.simhashPairs(s.read.parquet(t(dir, "documents")),
-          "doc_id", "text", maxDist = 10)
+          "doc_id", "text", maxDist = 6)
         .orderBy("a", "b")
     }),
     "q_dedup_embedding" -> ((s, dir) => {
@@ -416,7 +422,11 @@ object SparkEntry {
 
     // ---- exact n-gram Jaccard verification (all-pairs on a BOUNDED sample;
     // candidate generation at scale is minhash/simhash — this is the exact
-    // verify operator, DuckDB-oracled) ----
+    // verify operator, DuckDB-oracled). Threshold 0.01, NOT 0.1: the sampled
+    // sub-corpus contains background pairs (shared common trigrams) but no
+    // near-duplicates, so 0.1 matched on zero rows — a vacuous oracle
+    // (round-2 verdict #2). 0.01 keeps tens of nonzero-jaccard rows at every
+    // SF, so the compare actually pins the shingle/slice/array semantics. ----
     "q_dedup_jaccard" -> ((s, dir) => {
       val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= lit(""))
       val d = s.read.parquet(t(dir, "documents"))
@@ -431,7 +441,35 @@ object SparkEntry {
         .withColumn("jaccard", round(
           size(array_intersect(col("sha"), col("shb"))).cast("double") /
             greatest(size(array_union(col("sha"), col("shb"))), lit(1)), 6))
-        .where(col("jaccard") >= 0.1)
+        .where(col("jaccard") >= 0.01)
+        .select("a", "b", "jaccard")
+        .orderBy("a", "b")
+    }),
+
+    // ---- minhash→exact-verify, DuckDB-oracled END TO END (round-1 #10 /
+    // round-2 verdict #2): the engine emits LSH candidate pairs verified by
+    // exact string-trigram Jaccard ≥ 0.5; the oracle recomputes ALL pairs ≥
+    // 0.5 in DuckDB. Equality holds iff LSH recall at the threshold is 1 on
+    // this corpus — banding is sized for that: b=32 bands of r=2 rows gives
+    // per-pair miss probability (1-j²)³² ≤ 1e-4 at j=0.5 and ≈6e-15 at the
+    // corpus' actual near-dup similarity (j ≥ 0.8; background pairs ≤ 0.05,
+    // measured — a wide gap, so the pinned compare is stable). ----
+    "q_dedup_minhash_verify" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val cand = TextDedup.minhashCandidates(docs, "doc_id", "text",
+        k = 3, m = 64, bands = 32)
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= lit(""))
+      val sh = docs.select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), array_distinct(transform(
+          sequence(lit(0), greatest(size(col("toks")) - 3, lit(0))),
+          i => array_join(slice(col("toks"), i + lit(1), lit(3)), " "))).as("sh"))
+      cand
+        .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+        .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+        .withColumn("jaccard", round(
+          size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            greatest(size(array_union(col("sha"), col("shb"))), lit(1)), 6))
+        .where(col("jaccard") >= 0.5)
         .select("a", "b", "jaccard")
         .orderBy("a", "b")
     }),
@@ -662,7 +700,25 @@ object SparkEntry {
                    greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS jaccard
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       WHERE round(cast(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                  greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) >= 0.1
+                  greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) >= 0.01
+      ORDER BY a, b"""),
+
+    // all pairs at >= 0.5 — equality with the engine's LSH-candidates→verify
+    // pipeline pins minhash recall AND the exact-jaccard semantics end to end
+    "q_dedup_minhash_verify" -> ("""
+      WITH t AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct([array_to_string(toks[i+1:i+3], ' ')
+                                      for i in range(0, greatest(len(toks)-3, 0) + 1)]) AS s
+        FROM t)
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             round(cast(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                   greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE round(cast(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                  greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) >= 0.5
       ORDER BY a, b"""),
 
     "q_text_quality" -> ("""

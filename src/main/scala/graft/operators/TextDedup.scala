@@ -79,40 +79,59 @@ object TextDedup {
     }
   })
 
-  /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+  /** MinHash+LSH candidate pairs (a < b), deduplicated across bands.
     *
     * Scale shape: the heavy candidate-generation shuffle carries ONLY
     * (id, band_idx, band_hash) rows — never the shingle arrays. Candidate
     * pairs are generated inside each band bucket (groupBy band key →
     * sorted id list → ordered pairs via pure Catalyst array functions, no
-    * self-join), deduplicated across bands, and only then are the two
-    * shingle sets re-attached by id for the exact-Jaccard verify. The two
-    * attach joins have the (small) pair set on one side, so the document
-    * table is scanned, not shuffled.
+    * self-join).
+    *
+    * Hot-band cap (`maxBucket`): a degenerate band bucket — e.g. thousands
+    * of near-empty documents sharing one signature — would otherwise
+    * collect an unbounded id list onto a single row and generate O(bucket²)
+    * pairs in one task. Buckets larger than `maxBucket` are DROPPED: a
+    * documented recall trade confined to degenerate/boilerplate documents
+    * (a bucket that large is not evidence of pairwise similarity — at
+    * 10^9 docs it is the boilerplate cluster, and all-pairs within it is
+    * quadratic by definition; dedup of such clusters belongs to exact
+    * dedup on content hash, which [[exactDedup]] provides).
     */
-  def minhashPairs(
+  def minhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, m: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      maxBucket: Int = 10000): DataFrame = {
     val rows = m / bands
-    val sigs = docs.select(
-      col(idCol).as("id"), shinglesUdf(col(textCol), lit(k)).as("sh"))
-    val banded = sigs
+    val banded = docs
+      .select(col(idCol).as("id"), shinglesUdf(col(textCol), lit(k)).as("sh"))
       .select(col("id"),
         posexplode(bandsUdf(minhashUdf(col("sh"), lit(m)), lit(bands), lit(rows)))
           .as(Seq("band_idx", "band_hash")))
     // each ordered pair (a < b) within a bucket, generated once per bucket:
     // flatten(transform(ids, (x,i) -> pairs of x with every later id))
-    val pairs = banded
+    banded
       .groupBy("band_idx", "band_hash")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")) > 1)
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
           struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
-    pairs
+  }
+
+  /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification:
+    * [[minhashCandidates]] plus re-attaching the two shingle sets by id for
+    * the exact-Jaccard verify. The two attach joins have the (small) pair
+    * set on one side, so the document table is scanned, not shuffled.
+    */
+  def minhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, m: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, maxBucket: Int = 10000): DataFrame = {
+    val sigs = docs.select(
+      col(idCol).as("id"), shinglesUdf(col(textCol), lit(k)).as("sh"))
+    minhashCandidates(docs, idCol, textCol, k, m, bands, maxBucket)
       .join(sigs.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(sigs.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
       .withColumn("jaccard", round(jaccardUdf(col("sha"), col("shb")), 6))

@@ -52,6 +52,28 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("minhash hot-band cap drops degenerate buckets, keeps real near-dups") {
+    import spark.implicits._
+    // 60 near-empty docs share one signature → every band is one degenerate
+    // bucket of 60 ids (the O(bucket²) single-task blowup the cap prevents);
+    // plus two genuine near-duplicates that collide in normal-sized buckets
+    val docs = ((0 until 60).map(i => (i.toLong, "x")) ++ Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again and again"),
+      (101L, "the quick brown fox jumps over the lazy dog again and again and again today")))
+      .toDF("doc_id", "text")
+    val capped = TextDedup.minhashCandidates(docs, "doc_id", "text", maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((100L, 101L)), "real near-dup pair lost to the cap")
+    assert(!capped.exists(p => p._1 < 60 && p._2 < 60),
+      "degenerate >cap bucket still generated pairs")
+    // the cap is the only thing separating the two runs
+    val uncapped = TextDedup.minhashCandidates(docs, "doc_id", "text", maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((100L, 101L)))
+    assert((uncapped -- capped).forall(p => p._1 < 60 && p._2 < 60))
+    assert(uncapped.exists(p => p._1 < 60 && p._2 < 60))
+  }
+
   test("minhash pairs: shuffle-dieted pipeline equals band self-join reference") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
