@@ -64,11 +64,19 @@ final case class RobotsPolicy(
     crawlDelayRounds: Double) {
 
   /** Longest-match allow/disallow decision; no matching rule → allowed. */
-  def allows(path: String): Boolean = {
+  def allows(path: String): Boolean = RobotsPolicy.decide(disallow, allow, path)
+}
+
+object RobotsPolicy {
+  /** The decision rule as a static function of the rule lists, so both robots
+    * arms (broadcast-map UDF probe and policy-table join) share ONE
+    * implementation. Null rule lists (no policy row for the host) → allowed.
+    */
+  def decide(disallow: Seq[String], allow: Seq[String], path: String): Boolean = {
     var bestLen = -1
     var bestAllow = true
     var i = 0
-    while (i < disallow.length) {
+    if (disallow != null) while (i < disallow.length) {
       val p = disallow(i)
       if (path.startsWith(p) && (p.length > bestLen || (p.length == bestLen && !bestAllow))) {
         // disallow only wins strictly-longer matches (tie → allow)
@@ -77,7 +85,7 @@ final case class RobotsPolicy(
       i += 1
     }
     i = 0
-    while (i < allow.length) {
+    if (allow != null) while (i < allow.length) {
       val p = allow(i)
       if (path.startsWith(p) && p.length >= bestLen) { bestLen = p.length; bestAllow = true }
       i += 1
@@ -121,7 +129,16 @@ final case class CrawlConfig(
     // analogue): versions no retained read references are GC'd after each
     // round. 0 keeps all history (full time travel — the test default);
     // >= 2 required when enabled so concurrent-commit resume stays safe.
-    retentionVersions: Int = 0)
+    retentionVersions: Int = 0,
+    // robots arm gate: up to this many hosts the policy map is collected and
+    // broadcast (the contract's "robots.txt cache as a broadcast map" — O(1)
+    // map-side probe, no join shuffle; ~1M hosts ≈ low-hundreds MB driver
+    // heap). Above it, the last driver-memory term that grows with the web
+    // is gone: P2/T1 become joins against the policy TABLE (per-host slim
+    // join for crawl delay; candidate⋈policy join for the path filter —
+    // bucketed by host in Iceberg at contract scale, a plain narrow shuffle
+    // in the parquet substitute).
+    robotsBroadcastMaxHosts: Long = 1000000L)
 
 object Schemas {
   val pages: StructType = StructType(Seq(

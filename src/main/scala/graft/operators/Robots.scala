@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model.{CrawlConfig, RobotsPolicy}
 
-/** robots.txt parsing + broadcast policy cache — `[SPEC-R1]` (SURVEY.md P2/J1).
+/** robots.txt parsing + policy access — `[SPEC-R1]` (SURVEY.md P2/J1).
   *
   * Only the `User-agent: *` group is honored. Recognized directives:
   * Disallow, Allow, Crawl-delay (interpreted in logical rounds — the engine
@@ -13,10 +13,20 @@ import graft.model.{CrawlConfig, RobotsPolicy}
   * tie → allow. An empty Disallow value allows everything (per the original
   * robots.txt convention). Unknown directives are ignored.
   *
-  * The full policy map is collected and broadcast (BASELINE.json: "robots.txt
-  * cache as a broadcast map") — O(hosts) driver memory; at contract scale this
-  * is the documented trade for an O(1) map-side probe with no join shuffle.
+  * Two access arms, gated by host count ([[Robots.access]]):
+  *  - ≤ gate: the policy map is collected and broadcast (BASELINE.json:
+  *    "robots.txt cache as a broadcast map") — O(1) map-side probe, no join
+  *    shuffle, O(hosts) driver memory.
+  *  - above the gate, the broadcast map would be the one driver-memory term
+  *    growing with the web: policies stay a distributed TABLE of parsed rules
+  *    and P2/T1 become joins (per-host slim join for crawl delay; candidate ⋈
+  *    policy for the path filter). Both arms share [[RobotsPolicy.decide]].
   */
+sealed trait RobotsAccess
+final case class RobotsBroadcast(bc: Broadcast[Map[String, RobotsPolicy]]) extends RobotsAccess
+/** `policies`: (host, disallow array, allow array, crawl_delay_rounds). */
+final case class RobotsJoin(policies: DataFrame) extends RobotsAccess
+
 object Robots {
 
   def parse(host: String, robotsTxt: String, defaultDelayRounds: Double): RobotsPolicy = {
@@ -59,6 +69,30 @@ object Robots {
     }.toMap
     spark.sparkContext.broadcast(policies)
   }
+
+  /** The robots table parsed into a DISTRIBUTED policy table (the join arm):
+    * (host, disallow, allow, crawl_delay_rounds). Parsing runs once per host
+    * on the executors; nothing is collected.
+    */
+  def policiesTable(robotsTable: DataFrame, cfg: CrawlConfig): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val parseUdf = udf((host: String, txt: String) => {
+      val p = parse(host, txt, cfg.defaultCrawlDelayRounds)
+      (p.disallow, p.allow, p.crawlDelayRounds)
+    })
+    robotsTable.select(col("host"), parseUdf(col("host"), col("robots_txt")).as("p"))
+      .select(col("host"), col("p._1").as("disallow"), col("p._2").as("allow"),
+        col("p._3").as("crawl_delay_rounds"))
+  }
+
+  /** Pick the arm: broadcast map up to `cfg.robotsBroadcastMaxHosts` hosts,
+    * distributed policy-table join above (removing the only driver-memory
+    * term that grows with the web).
+    */
+  def access(spark: SparkSession, robotsTable: DataFrame, cfg: CrawlConfig): RobotsAccess =
+    if (robotsTable.count() <= cfg.robotsBroadcastMaxHosts)
+      RobotsBroadcast(broadcastPolicies(spark, robotsTable, cfg))
+    else RobotsJoin(policiesTable(robotsTable, cfg))
 
   val empty: Map[String, RobotsPolicy] = Map.empty
 }

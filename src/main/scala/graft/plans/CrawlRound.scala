@@ -1,14 +1,12 @@
 package graft.plans
 
-import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.{UrlCanon, UrlFunctions}
+import graft.functions.UrlFunctions
 import graft.model.{CrawlConfig, RobotsPolicy}
-import graft.operators.SeenStore
+import graft.operators.{RobotsAccess, SeenStore}
 import graft.sources.StateTable
 
 /** The frontier-expansion superstep — SURVEY.md §3.1.
@@ -153,15 +151,14 @@ object CrawlRound {
       frontier: DataFrame,
       hostStateSlim: DataFrame,
       broadcastHostState: Boolean,
-      delayOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      attachDelay: DataFrame => DataFrame, // must add a `delay` column per host
       cfg: CrawlConfig,
       round: Long): DataFrame = {
     val agg = udaf(new AdmitTopK(AdmitTopK.capFor(cfg.burstTokens)))
     val topc = frontier.groupBy(col("host"))
       .agg(agg(col("surt"), col("url"), col("host_bucket"), col("depth"), col("score")).as("top"))
     val hs = if (broadcastHostState) broadcast(hostStateSlim) else hostStateSlim
-    topc.join(hs, Seq("host"), "left")
-      .withColumn("delay", delayOf(col("host")))
+    attachDelay(topc.join(hs, Seq("host"), "left"))
       .withColumn("tokens_refilled", least(
         lit(cfg.burstTokens),
         coalesce(col("tokens"), lit(cfg.initialTokens)) +
@@ -218,7 +215,7 @@ object CrawlRound {
       spark: SparkSession,
       stateDir: String,
       pages: DataFrame,
-      robotsBc: Broadcast[Map[String, RobotsPolicy]],
+      robots: RobotsAccess,
       cfg: CrawlConfig,
       round: Long): RoundCounters = {
 
@@ -234,11 +231,37 @@ object CrawlRound {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val seen = StateTable.readAppended(spark, seenDir(stateDir), Some(prevV), Some(graft.model.Schemas.urlSeen))
 
-    val delayUdf = udf((host: String) =>
-      robotsBc.value.get(host).map(_.crawlDelayRounds).getOrElse(cfg.defaultCrawlDelayRounds))
-    // robots decision over the pre-parsed path (no re-parse on the hot path)
-    val allowPathUdf = udf((host: String, path: String) =>
-      robotsBc.value.get(host).forall(_.allows(path)))
+    // Robots arms (J1/P2/T1): map-side UDF probes against the broadcast map,
+    // or — above the host gate — joins against the distributed policy table.
+    // attachDelay feeds the token refill (a PER-HOST join either way);
+    // robotsFilter is P2 over the candidate stream (candidate ⋈ policy in
+    // the join arm — bucketed by host in Iceberg at contract scale). Both
+    // arms share RobotsPolicy.decide.
+    val (attachDelay, robotsFilter): (DataFrame => DataFrame, DataFrame => DataFrame) =
+      robots match {
+        case graft.operators.RobotsBroadcast(bc) =>
+          val delayUdf = udf((host: String) =>
+            bc.value.get(host).map(_.crawlDelayRounds).getOrElse(cfg.defaultCrawlDelayRounds))
+          // robots decision over the pre-parsed path (no re-parse on the hot path)
+          val allowPathUdf = udf((host: String, path: String) =>
+            bc.value.get(host).forall(_.allows(path)))
+          (df => df.withColumn("delay", delayUdf(col("host"))),
+            df => df.where(allowPathUdf(col("cp.host"), col("cp.path"))))
+        case graft.operators.RobotsJoin(policies) =>
+          val decideUdf = udf((dis: Seq[String], alw: Seq[String], path: String) =>
+            RobotsPolicy.decide(dis, alw, path))
+          (df => df
+            .join(policies.select(col("host"), col("crawl_delay_rounds")), Seq("host"), "left")
+            .withColumn("delay",
+              coalesce(col("crawl_delay_rounds"), lit(cfg.defaultCrawlDelayRounds)))
+            .drop("crawl_delay_rounds"),
+            df => df
+              .join(policies.select(col("host").as("__rhost"),
+                col("disallow").as("__dis"), col("allow").as("__alw")),
+                col("cp.host") === col("__rhost"), "left")
+              .where(decideUdf(col("__dis"), col("__alw"), col("cp.path")))
+              .drop("__rhost", "__dis", "__alw"))
+      }
 
     val timing = sys.env.contains("GRAFT_TIMING")
     var tMark = System.nanoTime()
@@ -255,7 +278,7 @@ object CrawlRound {
     val admitCand = admitCandidates(
         frontier, hostStateSlim,
         StateTable.manifest(hostStateDir(stateDir), prevV).forall(_.nRows <= 65536),
-        delayUdf(_), cfg, round)
+        attachDelay, cfg, round)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // In the politeness-bound regime (token admissions ≤ K, the steady state)
     // the global budget never binds — skip the top-K entirely, avoiding its
@@ -307,7 +330,7 @@ object CrawlRound {
         (col("cp.url").startsWith("http://") || col("cp.url").startsWith("https://")) &&
         length(col("cp.url")) <= cfg.maxPathLength &&
         col("parent_depth") < cfg.maxDepth)
-      .where(allowPathUdf(col("cp.host"), col("cp.path")))
+      .transform(robotsFilter)
       .withColumn("curl", col("cp.url"))
       .withColumn("chost", col("cp.host"))
       .withColumn("csurt", col("cp.surt"))

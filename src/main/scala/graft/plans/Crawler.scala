@@ -24,20 +24,45 @@ object SeedInjector {
       spark: SparkSession,
       stateDir: String,
       seeds: Seq[String],
-      robotsBc: Broadcast[Map[String, RobotsPolicy]],
+      robots: graft.operators.RobotsAccess,
       cfg: CrawlConfig): Long = {
     import spark.implicits._
-    val allowUdf = udf((host: String, url: String) => {
-      val p = graft.functions.UrlCanon.parse(url)
-      p != null && robotsBc.value.get(host).forall(_.allows(p.path))
-    })
+    // P2 over the seed list. Join arm: the seed host set is small by
+    // definition, so the policy table is first semi-reduced to seed hosts
+    // (scan-only on policies) and the tiny remainder broadcast — the full
+    // map is never collected.
+    val robotsSeedFilter: DataFrame => DataFrame = robots match {
+      case graft.operators.RobotsBroadcast(bc) =>
+        val allowUdf = udf((host: String, url: String) => {
+          val p = graft.functions.UrlCanon.parse(url)
+          p != null && bc.value.get(host).forall(_.allows(p.path))
+        })
+        df => df.where(allowUdf(col("host"), col("url")))
+      case graft.operators.RobotsJoin(policies) =>
+        val pathUdf = udf((url: String) => {
+          val p = graft.functions.UrlCanon.parse(url)
+          if (p == null) null else p.path
+        })
+        val decideUdf = udf((dis: Seq[String], alw: Seq[String], path: String) =>
+          RobotsPolicy.decide(dis, alw, path))
+        df => {
+          val withPath = df.withColumn("__path", pathUdf(col("url")))
+            .where(col("__path").isNotNull)
+          val pol = policies
+            .join(broadcast(withPath.select("host").distinct()), Seq("host"), "left_semi")
+            .select(col("host"), col("disallow").as("__dis"), col("allow").as("__alw"))
+          withPath.join(broadcast(pol), Seq("host"), "left")
+            .where(decideUdf(col("__dis"), col("__alw"), col("__path")))
+            .drop("__path", "__dis", "__alw")
+        }
+    }
     val frontier0 = seeds.toDF("raw")
       .withColumn("url", UrlFunctions.canonUdf(col("raw")))
       .where(col("url").isNotNull &&
         (col("url").startsWith("http://") || col("url").startsWith("https://")) &&
         length(col("url")) <= cfg.maxPathLength)
       .withColumn("host", UrlFunctions.hostOfUdf(col("url")))
-      .where(allowUdf(col("host"), col("url")))
+      .transform(robotsSeedFilter)
       .withColumn("surt", UrlFunctions.surtUdf(col("url")))
       .groupBy("surt")
       .agg(min(struct(col("url").as("u"), col("host").as("h"))).as("f"))
@@ -106,15 +131,15 @@ object Crawler {
       seeds: Seq[String],
       cfg: CrawlConfig,
       targetRounds: Int): Seq[CrawlRound.RoundCounters] = {
-    val robotsBc = graft.operators.Robots.broadcastPolicies(spark, robotsTable, cfg)
+    val robots = graft.operators.Robots.access(spark, robotsTable, cfg)
     val startV = Resume.lastCompleteVersion(stateDir) match {
       case Some(v) => v
       case None =>
-        SeedInjector.run(spark, stateDir, seeds, robotsBc, cfg)
+        SeedInjector.run(spark, stateDir, seeds, robots, cfg)
         0L
     }
     ((startV + 1) to targetRounds.toLong).map { r =>
-      CrawlRound.run(spark, stateDir, pages, robotsBc, cfg, r)
+      CrawlRound.run(spark, stateDir, pages, robots, cfg, r)
     }
   }
 

@@ -60,10 +60,12 @@ class OracleEqualitySpec extends AnyFunSuite with SparkTestSession {
   // ---- full crawl equality under three frozen configs (FIXTURES.md §1.4) ----
   def compareCrawl(seeds: Seq[String], budget: Int, rounds: Int, tag: String,
       broadcastFetchMaxBudget: Int = 65536,
-      exactAntiBroadcastMaxRows: Long = 500000L): Unit = {
+      exactAntiBroadcastMaxRows: Long = 500000L,
+      robotsBroadcastMaxHosts: Long = 1000000L): Unit = {
     val cfg = CrawlConfig(buckets = 16, roundBudget = budget, maxDepth = 10,
       broadcastFetchMaxBudget = broadcastFetchMaxBudget,
-      exactAntiBroadcastMaxRows = exactAntiBroadcastMaxRows)
+      exactAntiBroadcastMaxRows = exactAntiBroadcastMaxRows,
+      robotsBroadcastMaxHosts = robotsBroadcastMaxHosts)
     val dir = tmpDir(s"oracle-$tag")
     Crawler.crawl(spark, dir, pagesDf, robotsDf, seeds, cfg, rounds)
     val ocfg = OracleCrawler.Cfg(budget = budget, maxDepth = 10)
@@ -127,6 +129,17 @@ class OracleEqualitySpec extends AnyFunSuite with SparkTestSession {
   test("crawl equality — config 5: D3 distributed anti-join arm (gate=0), K=40, 5 rounds") {
     compareCrawl(SyntheticWeb.seeds(web, 10), budget = 40, rounds = 5, tag = "c5",
       exactAntiBroadcastMaxRows = 0L)
+  }
+
+  test("crawl equality — config 6: robots JOIN arm (gate=0), disallowed seed, K=15, 6 rounds") {
+    // same seeds as c2 so the seed-filter path and the per-round P2 filter
+    // both run through the policy-table join instead of the broadcast map
+    val seeds = Seq(
+      SyntheticWeb.pageUrl(web, 0L),
+      "http://h0.example/d3/blocked.html",
+      SyntheticWeb.pageUrl(web, 42L))
+    compareCrawl(seeds, budget = 15, rounds = 6, tag = "c6",
+      robotsBroadcastMaxHosts = 0L)
   }
 
   test("crawl equality — config 3: 25 seeds with dupes + messy forms, K=60, 5 rounds") {

@@ -151,7 +151,8 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     val cfg = graft.model.CrawlConfig()
     val round = 2L
     val admitCand = CrawlRound.admitCandidates(
-      frontier, hs, broadcastHostState = true, _ => lit(1.0), cfg, round)
+      frontier, hs, broadcastHostState = true,
+      df => df.withColumn("delay", lit(1.0)), cfg, round)
 
     // reference: the pre-round-3 full-frontier window formulation
     val withTokens = frontier.join(broadcast(hs), Seq("host"), "left")

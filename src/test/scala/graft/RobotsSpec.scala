@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{CrawlConfig, RobotsPolicy}
+import graft.operators.{Robots, RobotsBroadcast, RobotsJoin}
+import graft.sources.SyntheticWeb
+
+/** Robots access arms: the host-count gate, and parse/decide parity between
+  * the broadcast map and the distributed policy table.
+  */
+class RobotsSpec extends AnyFunSuite with SparkTestSession {
+
+  lazy val web = SyntheticWeb.WebConfig(seed = 42L, nPages = 100, nHosts = 12)
+  lazy val robotsDf = SyntheticWeb.robotsTable(spark, web)
+
+  test("access gate: broadcast at/below the host gate, policy-table join above") {
+    val nHosts = robotsDf.count()
+    Robots.access(spark, robotsDf, CrawlConfig(robotsBroadcastMaxHosts = nHosts)) match {
+      case RobotsBroadcast(bc) => assert(bc.value.size == nHosts)
+      case other => fail(s"expected broadcast arm at the gate, got $other")
+    }
+    Robots.access(spark, robotsDf, CrawlConfig(robotsBroadcastMaxHosts = nHosts - 1)) match {
+      case RobotsJoin(policies) => assert(policies.count() == nHosts)
+      case other => fail(s"expected join arm above the gate, got $other")
+    }
+  }
+
+  test("policy table rows ≡ driver-parsed policies; decide ≡ allows") {
+    val cfg = CrawlConfig()
+    val viaTable = Robots.policiesTable(robotsDf, cfg).collect().map { r =>
+      r.getString(0) -> RobotsPolicy(r.getString(0),
+        r.getSeq[String](1), r.getSeq[String](2), r.getDouble(3))
+    }.toMap
+    val viaMap = Robots.broadcastPolicies(spark, robotsDf, cfg).value
+    assert(viaTable == viaMap)
+    assert(viaMap.nonEmpty && viaMap.values.exists(_.disallow.nonEmpty),
+      "trivially-empty comparison: no host with rules")
+    // decision parity on a path soup, incl. the null-lists (no policy) case
+    val paths = Seq("/", "/d3/x.html", "/d3/", "/a/d3/", "/allowed/d3/deep", "", "/d10/page")
+    for ((host, p) <- viaMap; path <- paths)
+      assert(RobotsPolicy.decide(p.disallow, p.allow, path) == p.allows(path), s"$host $path")
+    assert(RobotsPolicy.decide(null, null, "/anything"), "missing policy must allow")
+  }
+}
