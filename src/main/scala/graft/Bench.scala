@@ -88,8 +88,10 @@ object Bench {
     * round file exists or a field is absent.
     */
   private def prevRoundDelta(u8: Double, u32: Double, d8: Double, d32: Double): String = {
+    // the driver wraps the bench's JSON line inside a "tail" STRING, so the
+    // keys appear with escaped quotes (\"key\":) — tolerate both forms
     def field(js: String, key: String): Option[Double] =
-      ("\"" + key + "\":([0-9.eE+-]+)").r.findFirstMatchIn(js).map(_.group(1).toDouble)
+      ("\\\\?\"" + key + "\\\\?\":([0-9.eE+-]+)").r.findFirstMatchIn(js).map(_.group(1).toDouble)
     val prior = {
       val cwd = Paths.get(".")
       if (!Files.exists(cwd)) Seq.empty
@@ -328,8 +330,18 @@ object Bench {
            |bandwidth and N× schedulers, which one JVM cannot emulate. The
            |dataflow row is the closer proxy for that regime (SURVEY.md §0.5)
            |and is reported alongside the full loop for the contract's ≥0.8
-           |criterion; neither reaches 0.8 in one JVM and the measured ceiling
-           |and its cause are documented here rather than tuned around.
+           |criterion. Criterion status THIS run: full loop ${f"$eff%.2f"}
+           |(${if (eff >= 0.8) "meets" else "below"} 0.8), dataflow
+           |${f"$deff%.2f"} (${if (deff >= 0.8) "meets" else "below"} 0.8).
+           |HONESTY NOTE on single-run ratios: each width is a best-of-3 in a
+           |JIT/GC-shared JVM, and repeated full probes spread roughly ±20%%
+           |per width, so the efficiency RATIO can swing ~0.6-0.9 run to run
+           |(round-3 resamples measured exactly that). The ratio's sign and
+           |round-over-round trend are meaningful; single-run decimals are
+           |not. Protocol change (round 3): the dataflow probe no longer
+           |includes a per-host window rank because the engine eliminated the
+           |frontier sort (bounded top-k admission) — dataflow rows are not
+           |directly comparable to rounds 1-2.
            |${prevRoundDelta(u8, u32, d8, d32)}""".stripMargin
       // only a full default-protocol run may publish the committed baseline:
       // diagnostic runs (crawl-only, dataflow-only, non-default core pair)
