@@ -207,67 +207,206 @@ object Bench {
     case c => c.toString
   }
 
+  /** The crawl-scaling benchmark's shape, derived once from the env knobs
+    * (parent and forked children must agree on it exactly).
+    */
+  private final case class Setup(
+      web: SyntheticWeb.WebConfig,
+      cfg: CrawlConfig,
+      seeds: Seq[String],
+      measured: Int,
+      pct: Int,
+      warmup: Int)
+
+  private def setupFromEnv(): Setup = {
+    val web = SyntheticWeb.WebConfig(
+      seed = 42L,
+      nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "1000000").toLong,
+      nHosts = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS", "100000").toInt,
+      density = sys.env.getOrElse("SPARK_GRAFT_BENCH_DENSITY", "6").toInt)
+    Setup(
+      web,
+      CrawlConfig(roundBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "300000").toInt),
+      SyntheticWeb.seeds(web, sys.env.getOrElse("SPARK_GRAFT_BENCH_SEEDS", "100000").toInt),
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "6").toInt,
+      // 100% of the corpus as the probe frontier: the fixed per-job cost
+      // (planning, broadcast build, final single-row agg) is ~1.5s; at 50%
+      // it eats ~7% of the ideal-speedup headroom, at 100% ~3%
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DATAFLOW_PCT", "100").toInt,
+      // 4 warm-up rounds, not 2: in a FRESH JVM (forked protocol) C2
+      // compilation of the parse/canon kernels extends through round ~4, and
+      // wider widths finish rounds in less wall time, so a short warm-up
+      // biases AGAINST local[32] (measured: rounds 3-4 at 32 cores still ran
+      // 1.3-1.6x slower than steady state, flipping eff 0.31 -> 0.20)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "4").toInt)
+  }
+
+  private def measureInline(kind: String, cores: Int, corpus: String, st: Setup): (Double, Double) =
+    kind match {
+      case "crawl" => crawlRun(cores, corpus, st.web, st.seeds, st.cfg, st.warmup, st.measured)
+      case "dataflow" => dataflowRun(cores, corpus, st.web, st.pct)
+      case "gen" => genCorpus(corpus, st); (0.0, 0.0)
+    }
+
+  /** Write the url-bucketed+sorted pages corpus: one file per bucket so the
+    * bucketed scan reports sorted output and the fetch SMJ needs neither
+    * exchange nor sort on the pages side.
+    */
+  private def genCorpus(corpus: String, st: Setup): Unit = {
+    val sGen = session(32)
+    try SyntheticWeb.pages(sGen, st.web).toDF()
+      .repartition(64, org.apache.spark.sql.functions.col("url"))
+      .write.bucketBy(64, "url").sortBy("url")
+      .option("path", s"$corpus/pages_bucketed")
+      .mode("overwrite")
+      .saveAsTable("pages_bucketed_gen")
+    finally sGen.stop()
+  }
+
+  /** Fork one child JVM running `graft.Bench` with the given task and return
+    * (exit code, stdout lines), or None when forking is unavailable. The
+    * child inherits the parent's JVM flags (heap, GC, add-opens) and env.
+    */
+  private def forkTask(task: String, corpus: String): Option[(Int, List[String])] = {
+    if (sys.env.get("SPARK_GRAFT_BENCH_FORK").contains("0")) return None
+    try {
+      import scala.jdk.CollectionConverters._
+      val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_BENCH_TASK", task)
+      pb.environment().put("SPARK_GRAFT_BENCH_CORPUS", corpus)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val lines = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
+      Some((p.waitFor(), lines))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] fork unavailable (${e.getMessage}) — in-process fallback")
+        None
+    }
+  }
+
+  /** Fresh-JVM measurement (round-3 protocol): EVERY Spark phase — corpus
+    * generation, the query suite, and each (crawl|dataflow, width) pair —
+    * runs in its own forked child JVM, so exactly ONE Spark JVM is alive at
+    * a time and every measurement sees identical cold-start conditions.
+    * Two lessons are baked in here: (1) in one shared JVM, later
+    * measurements inherited earlier phases' old-gen/JIT state (repeated
+    * dataflow probes swung u32 57k-99k purely by what ran before them);
+    * (2) a parent that ran ANY Spark work keeps its committed heap
+    * (ParallelGC does not uncommit), so parent+child Xmx48g JVMs
+    * oversubscribed the box and measured 3x slow — hence the parent does no
+    * Spark work at all in forked mode. Fork failure falls back in-process.
+    */
+  private def measureForked(kind: String, cores: Int, corpus: String, st: Setup): (Double, Double) =
+    forkTask(s"$kind:$cores", corpus) match {
+      case Some((0, lines)) if lines.exists(_.startsWith("GRAFT_BENCH_RESULT:")) =>
+        val js = lines.find(_.startsWith("GRAFT_BENCH_RESULT:")).get
+          .stripPrefix("GRAFT_BENCH_RESULT:")
+        def f(k: String) =
+          ("\"" + k + "\":([0-9.eE+-]+)").r.findFirstMatchIn(js).get.group(1).toDouble
+        (f("u"), f("s"))
+      case Some((rc, _)) =>
+        System.err.println(s"[bench] fork $kind:$cores failed (rc=$rc) — in-process fallback")
+        measureInline(kind, cores, corpus, st)
+      case None => measureInline(kind, cores, corpus, st)
+    }
+
+  /** Child-JVM entrypoint: run exactly one task and print its result line(s)
+    * for the parent to parse.
+    */
+  private def runChildTask(task: String): Unit = {
+    val corpus = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORPUS", "")
+    if (task == "queries") {
+      val (qs, errs, nErrs, total) = queriesInline()
+      println(s"GRAFT_BENCH_QS:$qs")
+      println(s"GRAFT_BENCH_ERRS:$errs")
+      println(s"GRAFT_BENCH_NERRS:$nErrs")
+      println(f"GRAFT_BENCH_TOTAL:$total%.3f")
+    } else {
+      val Array(kind, coresS) = task.split(":")
+      val (u, s) = measureInline(kind, coresS.toInt, corpus, setupFromEnv())
+      println(f"""GRAFT_BENCH_RESULT:{"u":$u%.4f,"s":$s%.4f}""")
+    }
+  }
+
+  /** Time the query suite in THIS JVM; returns preformatted JSON fragments
+    * (queries object, errors object) plus the total seconds.
+    */
+  private def queriesInline(): (String, String, Int, Double) = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark1 = session(cpus.toInt)
+    // session warm-up (codegen, parquet reader, shuffle paths) so the
+    // first query's wall time is attributable to the query, not the JVM
+    try {
+      import org.apache.spark.sql.functions.{col, count}
+      spark1.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy(col("l_returnflag")).agg(count(col("l_orderkey"))).count()
+    } catch { case _: Throwable => () }
+    val (results, errors) = timeQueries(spark1, sfDir, SparkEntry.queries.toSeq.sortBy(_._1))
+    spark1.stop()
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":${v}%.3f""" }
+      .mkString("{", ",", "}")
+    val errs = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${jsonEsc(k)}":"${jsonEsc(v)}"""" }
+      .mkString("{", ",", "}")
+    (qs, errs, errors.size, results.map(_._2).sum)
+  }
+
   def main(args: Array[String]): Unit = {
+    sys.env.get("SPARK_GRAFT_BENCH_TASK") match {
+      case Some(task) => runChildTask(task); return
+      case None => ()
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
     // ---- part 1: operator query bench (driver contract) ----
+    // forked like every other Spark phase: a parent that ran ANY Spark work
+    // keeps its committed heap for the rest of the run (ParallelGC never
+    // uncommits), which oversubscribes the box under the part-2 children
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") == "1"
-    val (results, queryErrors) = if (!doQueries) (Seq.empty[(String, Double)], Map.empty[String, String]) else {
-      val spark1 = session(cpus.toInt)
-      // session warm-up (codegen, parquet reader, shuffle paths) so the
-      // first query's wall time is attributable to the query, not the JVM
-      try {
-        import org.apache.spark.sql.functions.{col, count}
-        spark1.read.parquet(s"$sfDir/lineitem.parquet")
-          .groupBy(col("l_returnflag")).agg(count(col("l_orderkey"))).count()
-      } catch { case _: Throwable => () }
-      val r = timeQueries(spark1, sfDir, SparkEntry.queries.toSeq.sortBy(_._1))
-      spark1.stop()
-      r
+    val (qs, errs, nErrs, total) = if (!doQueries) ("{}", "{}", 0, 0.0) else {
+      forkTask("queries", "") match {
+        case Some((0, lines)) if lines.exists(_.startsWith("GRAFT_BENCH_QS:")) =>
+          def g(p: String) = lines.find(_.startsWith(p)).get.stripPrefix(p)
+          (g("GRAFT_BENCH_QS:"), g("GRAFT_BENCH_ERRS:"),
+            g("GRAFT_BENCH_NERRS:").toInt, g("GRAFT_BENCH_TOTAL:").toDouble)
+        case Some((rc, _)) =>
+          System.err.println(s"[bench] fork queries failed (rc=$rc) — in-process fallback")
+          queriesInline()
+        case None => queriesInline()
+      }
     }
 
     // ---- part 2: crawl scaling (the BASELINE.md protocol) ----
     val doCrawl = sys.env.getOrElse("SPARK_GRAFT_BENCH_CRAWL", "1") == "1"
     val crawlJson = if (!doCrawl) "" else {
-      val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "1000000").toLong
-      val nHosts = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS", "100000").toInt
-      val nSeeds = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEEDS", "100000").toInt
-      val measured = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "6").toInt
-      val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "300000").toInt
-      val density = sys.env.getOrElse("SPARK_GRAFT_BENCH_DENSITY", "6").toInt
-      val web = SyntheticWeb.WebConfig(seed = 42L, nPages = nPages, nHosts = nHosts,
-        density = density)
-      val cfg = CrawlConfig(roundBudget = budget)
+      val st = setupFromEnv()
       val corpusBase = Paths.get(sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-shuffle"))
       Files.createDirectories(corpusBase)
       val corpus = Files.createTempDirectory(corpusBase, "graft-bench-corpus").toString
-      val sGen = session(32)
-      // one file per bucket so the bucketed scan reports sorted output and
-      // the fetch SMJ needs neither exchange nor sort on the pages side
-      try SyntheticWeb.pages(sGen, web).toDF()
-        .repartition(64, org.apache.spark.sql.functions.col("url"))
-        .write.bucketBy(64, "url").sortBy("url")
-        .option("path", s"$corpus/pages_bucketed")
-        .mode("overwrite")
-        .saveAsTable("pages_bucketed_gen")
-      finally sGen.stop()
-      val seeds = SyntheticWeb.seeds(web, nSeeds)
+      // corpus generation is a forked Spark phase too (see measureForked)
+      measureForked("gen", 32, corpus, st)
 
       val loCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES_LO", "8").toInt
       val hiCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES_HI", "32").toInt
       val dataflowOnly = sys.env.get("SPARK_GRAFT_BENCH_DATAFLOW_ONLY").contains("1")
-      val (u8, s8) = if (dataflowOnly) (0.0, 0.0) else crawlRun(loCores, corpus, web, seeds, cfg, 2, measured)
-      val (u32, s32) = if (dataflowOnly) (0.0, 0.0) else crawlRun(hiCores, corpus, web, seeds, cfg, 2, measured)
+      val (u8, s8) = if (dataflowOnly) (0.0, 0.0) else measureForked("crawl", loCores, corpus, st)
+      val (u32, s32) = if (dataflowOnly) (0.0, 0.0) else measureForked("crawl", hiCores, corpus, st)
       val eff = if (dataflowOnly) 0.0 else (u32 / u8) / (hiCores.toDouble / loCores)
-      // 100% of the corpus as the probe frontier: the fixed per-job cost
-      // (planning, broadcast build, final single-row agg) is ~1.5s; at 50%
-      // it eats ~7% of the ideal-speedup headroom, at 100% ~3%
-      val pct = sys.env.getOrElse("SPARK_GRAFT_BENCH_DATAFLOW_PCT", "100").toInt
       val crawlOnly = sys.env.get("SPARK_GRAFT_BENCH_CRAWL_ONLY").contains("1")
-      val (d8, ds8) = if (crawlOnly) (0.0, 0.0) else dataflowRun(loCores, corpus, web, pct)
-      val (d32, ds32) = if (crawlOnly) (0.0, 0.0) else dataflowRun(hiCores, corpus, web, pct)
+      val (d8, ds8) = if (crawlOnly) (0.0, 0.0) else measureForked("dataflow", loCores, corpus, st)
+      val (d32, ds32) = if (crawlOnly) (0.0, 0.0) else measureForked("dataflow", hiCores, corpus, st)
       val deff = if (crawlOnly) 0.0 else (d32 / d8) / (hiCores.toDouble / loCores)
+      val (nPages, nHosts, nSeeds, measured, cfg, pct, warmup) =
+        (st.web.nPages, st.web.nHosts, st.seeds.length, st.measured, st.cfg, st.pct, st.warmup)
 
       // tmpfs hygiene: corpus + per-run state live in RAM — always reclaim
       def rmTree(p: java.nio.file.Path): Unit =
@@ -292,7 +431,7 @@ object Bench {
            |
            |Corpus: deterministic synthetic web, seed=42, $nPages%d pages,
            |$nHosts%d hosts, $nSeeds%d seeds, budget K=${cfg.roundBudget}%d,
-           |2 warm-up rounds + $measured%d measured rounds, URLs/sec = Σ admitted / wall-sec.
+           |$warmup%d warm-up rounds + $measured%d measured rounds, URLs/sec = Σ admitted / wall-sec.
            |local[8] vs local[32] on the same parquet corpus is the sandbox
            |substitution for N vs 4N executors (no real cluster available).
            |
@@ -333,15 +472,23 @@ object Bench {
            |criterion. Criterion status THIS run: full loop ${f"$eff%.2f"}
            |(${if (eff >= 0.8) "meets" else "below"} 0.8), dataflow
            |${f"$deff%.2f"} (${if (deff >= 0.8) "meets" else "below"} 0.8).
-           |HONESTY NOTE on single-run ratios: each width is a best-of-3 in a
-           |JIT/GC-shared JVM, and repeated full probes spread roughly ±20%%
-           |per width, so the efficiency RATIO can swing ~0.6-0.9 run to run
-           |(round-3 resamples measured exactly that). The ratio's sign and
-           |round-over-round trend are meaningful; single-run decimals are
-           |not. Protocol change (round 3): the dataflow probe no longer
-           |includes a per-host window rank because the engine eliminated the
-           |frontier sort (bounded top-k admission) — dataflow rows are not
-           |directly comparable to rounds 1-2.
+           |Measurement protocol (round 3): every (phase, width) runs in its
+           |own FORKED JVM, so local[8] and local[32] see identical cold-start
+           |conditions. In one shared JVM, later measurements inherited the
+           |earlier phases' old-gen/JIT state — repeated dataflow probes
+           |swung u32 between 57k and 99k URLs/s (ratio 0.47-0.92) purely by
+           |what ran before them. Fresh JVMs in turn need a longer crawl
+           |warm-up ($warmup%d rounds): C2 compilation extends through round
+           |~4, and since wider widths finish rounds in less wall time, a
+           |2-round warm-up biased AGAINST local[32] (measured eff 0.20 with
+           |rounds 3-4 in the window vs 0.31 at steady state). Residual
+           |single-run variance (best-of-3 per width, JIT nondeterminism)
+           |remains ±10-20%%: trends are
+           |meaningful, single-run decimals are not. Also round 3: the
+           |dataflow probe no longer includes a per-host window rank because
+           |the engine eliminated the frontier sort (bounded top-k
+           |admission) — dataflow rows are not directly comparable to
+           |rounds 1-2.
            |${prevRoundDelta(u8, u32, d8, d32)}""".stripMargin
       // only a full default-protocol run may publish the committed baseline:
       // diagnostic runs (crawl-only, dataflow-only, non-default core pair)
@@ -354,13 +501,7 @@ object Bench {
       f""","urls_per_sec_local8":${u8}%.2f,"urls_per_sec_local32":${u32}%.2f,"scaling_efficiency":${eff}%.4f,"dataflow_urls_per_sec_local8":${d8}%.2f,"dataflow_urls_per_sec_local32":${d32}%.2f,"dataflow_scaling_efficiency":${deff}%.4f"""
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":${v}%.3f""" }
-      .mkString("{", ",", "}")
-    val errs = queryErrors.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""${jsonEsc(k)}":"${jsonEsc(v)}"""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":${total}%.3f,"unit":"sec","queries":$qs,"n_errors":${queryErrors.size},"errors":$errs,"sf":"$sfDir"$crawlJson}""")
+      f"""{"metric":"total","value":${total}%.3f,"unit":"sec","queries":$qs,"n_errors":$nErrs,"errors":$errs,"sf":"$sfDir"$crawlJson}""")
   }
 }

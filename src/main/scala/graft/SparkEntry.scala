@@ -382,7 +382,9 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
-    // ---- similarity search ----
+    // ---- similarity search (brute force DuckDB-oracled via
+    // list_cosine_similarity; both sides order by the ROUNDED cosine with a
+    // vec_id tie-break so top-k membership is deterministic) ----
     "q_sim_bruteforce_topk" -> ((s, dir) => {
       val emb = s.read.parquet(t(dir, "embeddings"))
       val q = emb.where(col("vec_id") === 0)
@@ -702,6 +704,13 @@ object SparkEntry {
       WHERE round(cast(len(list_intersect(a.s, b.s)) AS DOUBLE) /
                   greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) >= 0.01
       ORDER BY a, b"""),
+
+    "q_sim_bruteforce_topk" -> ("""
+      WITH q AS (SELECT cast(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+             round(list_cosine_similarity(cast(embedding AS DOUBLE[]), qv), 6) AS cos
+      FROM embeddings, q WHERE vec_id <> 0
+      ORDER BY cos DESC, vec_id ASC LIMIT 10"""),
 
     // all pairs at >= 0.5 — equality with the engine's LSH-candidates→verify
     // pipeline pins minhash recall AND the exact-jaccard semantics end to end

@@ -481,8 +481,14 @@ object CrawlRound {
       Future(tagged(s"commit:frontier r$round")(
         StateTable.commit(nextFrontier, frontierDir(stateDir), version, round, counters,
           partitioned = false))),
+      // host_state is FLAT too (round 3): it is always read whole, and the
+      // partitionBy layout cost ~1s/round in a profiled SINGLE-task stage —
+      // AQE coalesces the tiny repartition to one partition, whose one task
+      // then writes all 64 bucket dirs serially (the write-amplification the
+      // layout was supposed to avoid, reintroduced at small row counts)
       Future(tagged(s"commit:host_state r$round")(
-        StateTable.commit(nextHostState, hostStateDir(stateDir), version, round, counters))))
+        StateTable.commit(nextHostState, hostStateDir(stateDir), version, round, counters,
+          partitioned = false))))
     Await.result(Future.sequence(otherCommits :+ seenCommit.map(_ => 0L) :+ fetchLogCommit), Duration.Inf)
     val nFetched200 = Await.result(fetchLogCommit, Duration.Inf)
     mark("commits")

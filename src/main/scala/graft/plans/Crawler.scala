@@ -94,7 +94,8 @@ object SeedInjector {
 
     val emptyHost = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.hostState)
-    StateTable.commit(emptyHost, CrawlRound.hostStateDir(stateDir), 0L, 0L)
+    StateTable.commit(emptyHost, CrawlRound.hostStateDir(stateDir), 0L, 0L,
+      partitioned = false)
     n
   }
 }
