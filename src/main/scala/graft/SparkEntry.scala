@@ -437,12 +437,24 @@ object SparkEntry {
         .select(col("doc_id"), array_distinct(transform(
           sequence(lit(0), greatest(size(col("toks")) - 3, lit(0))),
           i => array_join(slice(col("toks"), i + lit(1), lit(3)), " "))).as("sh"))
-      val l = d.select(col("doc_id").as("a"), col("sh").as("sha"))
-      val r = d.select(col("doc_id").as("b"), col("sh").as("shb"))
-      l.join(r, col("a") < col("b")) // bounded sample ⇒ NL join is fine
-        .withColumn("jaccard", round(
-          size(array_intersect(col("sha"), col("shb"))).cast("double") /
-            greatest(size(array_union(col("sha"), col("shb"))), lit(1)), 6))
+      // Inverted-index formulation (round 3; replaces the O(n²) NL join):
+      // explode shingles and self-EQUI-join on the shingle, so only pairs
+      // that actually share a shingle materialize; count(*) per (a,b) is
+      // exactly |A∩B| (arrays are distinct), and |A∪B| = |A|+|B|-|A∩B|.
+      // Pairs with zero shared shingles have jaccard 0 < threshold, so the
+      // result is identical to the all-pairs oracle — but the plan is a
+      // shuffled equi-join + hash aggregation, the shape that survives at
+      // corpus scale where an NL self-join cannot.
+      val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
+      val ex = d.select(col("doc_id"), explode(col("sh")).as("g"))
+      ex.as("x").join(ex.as("y"),
+          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .withColumn("jaccard", round(col("cnt").cast("double") /
+          greatest(col("na") + col("nb") - col("cnt"), lit(1)), 6))
         .where(col("jaccard") >= 0.01)
         .select("a", "b", "jaccard")
         .orderBy("a", "b")
