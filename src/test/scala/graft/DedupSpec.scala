@@ -102,4 +102,33 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got == want, s"diff: missing=${(want -- got).size} extra=${(got -- want).size}")
     assert(got.nonEmpty, "trivially-empty comparison")
   }
+
+  test("inverted-index jaccard (q_dedup_jaccard) equals direct pairwise formulation") {
+    // the engine query computes |A∩B| by exploding shingles and equi-joining
+    // on the shingle; this pins it against the direct array_intersect/union
+    // NL-join it replaced (which in turn matched the DuckDB oracle)
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q_dedup_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= lit(""))
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .where(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(0), greatest(size(col("toks")) - 3, lit(0))),
+        i => array_join(slice(col("toks"), i + lit(1), lit(3)), " "))).as("sh"))
+    val l = d.select(col("doc_id").as("a"), col("sh").as("sha"))
+    val r = d.select(col("doc_id").as("b"), col("sh").as("shb"))
+    val want = l.join(r, col("a") < col("b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          greatest(size(array_union(col("sha"), col("shb"))), lit(1)), 6))
+      .where(col("jaccard") >= 0.01)
+      .select("a", "b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(got == want, s"diff: missing=${(want -- got).size} extra=${(got -- want).size}")
+    assert(got.nonEmpty, "trivially-empty comparison")
+  }
 }
