@@ -43,7 +43,10 @@ object UrlFunctions {
   val resolveCanonUdf = udf((base: String, href: String) =>
     Option(UrlCanon.canonParts(UrlCanon.resolve(base, href))))
 
-  /** Register every function for SQL use. Idempotent. */
+  /** Register every function for SQL use. Idempotent. A user driving the
+    * engine through `spark.sql` gets the whole scalar surface: URL/HTML
+    * kernels plus the text-analysis, dedup-sketch, and similarity UDFs.
+    */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("canon_url", canonUdf)
     spark.udf.register("surt", surtUdf)
@@ -54,5 +57,15 @@ object UrlFunctions {
     spark.udf.register("url_path", pathOfUdf)
     spark.udf.register("extract_links", extractLinksUdf)
     spark.udf.register("extract_text", extractTextUdf)
+    spark.udf.register("lang_id", graft.operators.TextAnalysis.langIdUdf)
+    spark.udf.register("doc_fingerprint", graft.operators.TextAnalysis.fingerprintUdf)
+    spark.udf.register("shingles64", graft.operators.TextDedup.shinglesUdf)
+    spark.udf.register("minhash_sig", graft.operators.TextDedup.minhashUdf)
+    spark.udf.register("minhash_bands", graft.operators.TextDedup.bandsUdf)
+    spark.udf.register("jaccard64", graft.operators.TextDedup.jaccardUdf)
+    spark.udf.register("simhash64", graft.operators.TextDedup.simhashUdf)
+    spark.udf.register("hamming64", graft.operators.TextDedup.hammingUdf)
+    spark.udf.register("cosine_sim", graft.operators.Similarity.cosineUdf)
+    spark.udf.register("lsh_bucket", graft.operators.Similarity.lshBucketUdf)
   }
 }

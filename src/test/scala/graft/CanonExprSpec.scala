@@ -176,4 +176,39 @@ class CanonExprSpec extends AnyFunSuite with SparkTestSession {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*("), s"no whole-stage-codegen span:\n$plan")
   }
+
+  test("SQL surface: every registered function is callable from spark.sql") {
+    // UrlFunctions.register runs in SparkTestSession; this drives each name
+    // through the SQL parser so a rename or signature drift fails loudly
+    val row = spark.sql(
+      """SELECT
+        |  canon_url('HTTP://Ex.COM:80/a/../b') AS c,
+        |  surt('http://a.ex.com/p') AS s,
+        |  host_of('http://a.ex.com/p') AS h,
+        |  reg_host('a.b.ex.com') AS rh,
+        |  host_reverse('a.ex.com') AS hr,
+        |  resolve_link('http://ex.com/a/', '../c') AS rl,
+        |  url_path('http://ex.com/a/b?q=1') AS up,
+        |  size(extract_links(cast('<a href="/x">t</a>' AS BINARY))) AS nl,
+        |  extract_text(cast('<p>hi</p>' AS BINARY)) AS tx,
+        |  lang_id('the of and to in is it you that') AS li,
+        |  doc_fingerprint('some repeated text some repeated text', 4) AS fp,
+        |  minhash_sig(shingles64('a b c d e f g', 3), 16) AS mh,
+        |  size(minhash_bands(minhash_sig(shingles64('a b c d e', 3), 16), 4, 4)) AS nb,
+        |  jaccard64(shingles64('a b c d', 2), shingles64('a b c d', 2)) AS j,
+        |  hamming64(simhash64('x y z'), simhash64('x y z')) AS hd,
+        |  cosine_sim(array(cast(1.0 AS FLOAT), cast(0.0 AS FLOAT)),
+        |             array(cast(1.0 AS FLOAT), cast(0.0 AS FLOAT))) AS cs,
+        |  lsh_bucket(array(cast(1.0 AS FLOAT), cast(0.5 AS FLOAT)), 8) AS lb
+        |""".stripMargin)
+      .head()
+    assert(row.getAs[String]("c") == "http://ex.com/b")
+    assert(row.getAs[String]("hr") == "com.ex.a")
+    assert(row.getAs[String]("rl") == "http://ex.com/c")
+    assert(row.getAs[Int]("nl") == 1)
+    assert(row.getAs[String]("li") == "en")
+    assert(row.getAs[Double]("j") == 1.0)
+    assert(row.getAs[Int]("hd") == 0)
+    assert(math.abs(row.getAs[Double]("cs") - 1.0) < 1e-9)
+  }
 }
