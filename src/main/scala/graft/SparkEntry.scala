@@ -399,6 +399,32 @@ object SparkEntry {
     }),
     // persisted IVF index: bucket-partitioned write, then a PARTITION-PRUNED
     // probe (the scan reads only the probed bucket dirs — the 100 TB path)
+    // ---- S8 WARC source/sink: write the deterministic synthetic corpus as
+    // WARC/1.1 (one file per partition, no shuffle), read it back through
+    // the byte-level record parser, and prove the html bytes survived by
+    // extracting links from the re-read pages. Deterministic row count.
+    "q_warc_roundtrip" -> ((s, dir) => {
+      val pages = graft.sources.SyntheticWeb.pages(
+        s, graft.sources.SyntheticWeb.WebConfig(seed = 42L, nPages = 300, nHosts = 12)).toDF()
+      val warcDir = java.nio.file.Files.createTempDirectory("graft_warc_q_").toString
+      try {
+        graft.sources.Warc.writePages(pages.repartition(4), warcDir)
+        val back = graft.sources.Warc.readPages(s, warcDir).toDF()
+          .select(col("url"), col("warc_ts"),
+            size(UrlFunctions.extractLinksUdf(col("html"))).as("n_links"),
+            xxhash64(col("html")).as("html_hash"))
+          .orderBy("url")
+        val rows = back.collect().toIndexedSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), back.schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(warcDir))
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }),
+
     "q_sim_ivf_topk" -> ((s, dir) => {
       val emb = s.read.parquet(t(dir, "embeddings"))
       val q = emb.where(col("vec_id") === 0)
