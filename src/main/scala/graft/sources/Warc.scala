@@ -12,14 +12,14 @@ import graft.model.Page
 /** WARC (ISO 28500 / WARC-1.0, the Common Crawl container) source + sink,
   * parsed with pure byte logic — no external archive library.
   *
-  * Read path: `spark.read.format("binaryFile")` over `*.warc` files, then a
-  * per-file record iterator in `flatMap` — one task per file, which matches
-  * how uncompressed WARC parallelizes (records are length-delimited within a
-  * file; files are the split unit). At crawl scale the corpus is many
-  * GB-sized files, so file-level parallelism saturates a cluster; for
-  * `.warc.gz` Common Crawl keeps one gzip MEMBER per record specifically so
-  * readers can split on member boundaries — that decompression path needs a
-  * gzip-member scanner and is out of scope here (documented, not hidden).
+  * Read path: `sc.binaryFiles` over `*.warc` / `*.warc.gz`, then a
+  * STREAMING per-file record iterator — one task per file (the WARC split
+  * unit: records are length-delimited within a file), constant memory per
+  * task (one record payload at a time, never the whole file). Gzip is
+  * detected by magic bytes; `GZIPInputStream` walks concatenated gzip
+  * members transparently, which is exactly Common Crawl's `.warc.gz`
+  * layout (one member per record). At crawl scale the corpus is many
+  * GB-sized files, so file-level parallelism saturates a cluster.
   *
   * Only `response` records with an HTTP payload map to [[Page]] rows: url =
   * WARC-Target-URI, warc_ts = WARC-Date, html = the HTTP body (bytes after
@@ -47,45 +47,62 @@ object Warc {
       }
   }
 
-  /** Iterate records of one UNCOMPRESSED WARC file held in memory. Malformed
-    * trailing bytes end the iteration rather than throwing: a truncated tail
-    * (killed crawler) must not poison the whole file.
+  /** Iterate the records of one WARC stream. STREAMING: at most one record
+    * payload is in memory at a time, so GB-scale archive files parse under a
+    * constant memory bound. Malformed or truncated trailing bytes end the
+    * iteration rather than throwing: a truncated tail (killed crawler) must
+    * not poison the whole file.
     */
-  def records(bytes: Array[Byte]): Iterator[Record] = new Iterator[Record] {
-    private var pos = 0
+  def records(in: java.io.InputStream): Iterator[Record] = new Iterator[Record] {
+    private val buf = new java.io.BufferedInputStream(in, 64 * 1024)
     private var nextRec: Record = _
     advance()
 
-    private def indexOfCrlfCrlf(from: Int): Int = {
-      var i = from
-      while (i + 3 < bytes.length) {
-        if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
-            bytes(i + 2) == '\r' && bytes(i + 3) == '\n') return i
-        i += 1
+    /** Read one header block (through the blank CRLF line); None at EOF or
+      * on malformed bytes. Leading CRLFs (inter-record separators) skipped.
+      */
+    private def readHeaderBlock(): Option[String] = {
+      val sb = new java.lang.StringBuilder(256)
+      var c = buf.read()
+      while (c == '\r' || c == '\n') c = buf.read()
+      if (c < 0) return None
+      var blanks = 0 // consecutive CRLF pairs seen
+      while (c >= 0 && blanks < 2) {
+        if (c == '\n') blanks += 1 else if (c != '\r') blanks = 0
+        sb.append(c.toChar)
+        if (blanks < 2) c = buf.read()
       }
-      -1
+      if (blanks < 2) None else Some(sb.toString)
+    }
+
+    private def readFully(n: Int): Option[Array[Byte]] = {
+      val out = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val r = buf.read(out, off, n - off)
+        if (r < 0) return None
+        off += r
+      }
+      Some(out)
     }
 
     private def advance(): Unit = {
       nextRec = null
-      // skip inter-record CRLFs
-      while (pos < bytes.length && (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
-      if (pos >= bytes.length) return
-      val headerEnd = indexOfCrlfCrlf(pos)
-      if (headerEnd < 0) return
-      val headerText = new String(bytes, pos, headerEnd - pos, StandardCharsets.UTF_8)
-      val lines = headerText.split("\r\n")
-      if (!lines.headOption.exists(_.startsWith("WARC/"))) return
-      val headers = lines.drop(1).flatMap { l =>
-        val i = l.indexOf(':')
-        if (i <= 0) None else Some(l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim)
-      }.toMap
-      val len = headers.get("content-length").flatMap(_.toLongOption).getOrElse(-1L)
-      val payloadStart = headerEnd + 4
-      if (len < 0 || payloadStart + len > bytes.length) return
-      nextRec = Record(headers,
-        java.util.Arrays.copyOfRange(bytes, payloadStart, payloadStart + len.toInt))
-      pos = payloadStart + len.toInt
+      val parsed = for {
+        block <- readHeaderBlock()
+        lines = block.split("\r\n")
+        if lines.headOption.exists(_.startsWith("WARC/"))
+        headers = lines.drop(1).flatMap { l =>
+          val i = l.indexOf(':')
+          if (i <= 0) None
+          else Some(l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim)
+        }.toMap
+        len <- headers.get("content-length").flatMap(_.toLongOption)
+        if len >= 0 && len <= Int.MaxValue
+        payload <- readFully(len.toInt)
+      } yield Record(headers, payload)
+      nextRec = parsed.orNull
+      if (nextRec == null) buf.close()
     }
 
     override def hasNext: Boolean = nextRec != null
@@ -93,6 +110,10 @@ object Warc {
       val r = nextRec; advance(); r
     }
   }
+
+  /** In-memory convenience overload (tests, small archives). */
+  def records(bytes: Array[Byte]): Iterator[Record] =
+    records(new java.io.ByteArrayInputStream(bytes))
 
   /** HTTP body of a response payload: bytes after the first CRLFCRLF
     * (the status line + headers). A payload with no header separator is
@@ -109,23 +130,31 @@ object Warc {
     payload
   }
 
-  /** Read `*.warc` files under `path` into the pages shape. `text`/`lang`
-    * stay null — they are produced downstream by X2/X3 extraction, exactly
-    * as for freshly fetched bytes.
+  /** Read `*.warc` / `*.warc.gz` files under `path` into the pages shape.
+    * `text`/`lang` stay null — they are produced downstream by X2/X3
+    * extraction, exactly as for freshly fetched bytes.
+    *
+    * Each file is one task (`binaryFiles` hands a LAZY stream, so GB-scale
+    * archives parse record-at-a-time under constant memory — nothing
+    * materializes the whole file). `.gz` input is detected by magic bytes:
+    * `GZIPInputStream` transparently walks concatenated gzip members, which
+    * is exactly how Common Crawl lays out `.warc.gz` (one member per record)
+    * — so member-per-record archives stream straight through.
     */
   def readPages(spark: SparkSession, path: String): Dataset[Page] = {
     import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc")
-      .load(path)
-      .select("path", "content")
-      .as[(String, Array[Byte])]
-      .flatMap { case (p, content) =>
-        if (content.length >= 2 && content(0) == GZIP_MAGIC(0) && content(1) == GZIP_MAGIC(1))
-          throw new IllegalArgumentException(
-            s"$p is gzip-compressed; the splittable .warc.gz member reader is not implemented — " +
-              "decompress to .warc first")
-        records(content)
+    val files = spark.sparkContext
+      .binaryFiles(s"$path/*.warc*")
+      .flatMap { case (_, pds) =>
+        val raw = new java.io.BufferedInputStream(pds.open(), 64 * 1024)
+        raw.mark(2)
+        val m0 = raw.read(); val m1 = raw.read()
+        raw.reset()
+        val in =
+          if (m0 == (GZIP_MAGIC(0) & 0xff) && m1 == (GZIP_MAGIC(1) & 0xff))
+            new java.util.zip.GZIPInputStream(raw, 64 * 1024)
+          else raw
+        records(in)
           .filter(r => r.recordType == "response" && r.targetUri.isDefined)
           .map(r => Page(
             url = r.targetUri.get,
@@ -134,6 +163,7 @@ object Warc {
             text = null,
             lang = null))
       }
+    spark.createDataset(files)
   }
 
   /** Write pages as one uncompressed `.warc` file per partition (no

@@ -70,4 +70,39 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
       col("url"), graft.functions.UrlFunctions.extractLinksUdf(col("html")).as("links"))
     assert(linked.where(size(col("links")) > 0).count() > 0)
   }
+
+  test("gzip archives stream through, including multi-member (Common Crawl layout)") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_warc_gz_").toString
+    val pages = SyntheticWeb.pages(
+      spark, SyntheticWeb.WebConfig(seed = 42L, nPages = 60, nHosts = 6)).toDF()
+    Warc.writePages(pages.repartition(2), dir)
+
+    // whole-file single-member gzip for part 0; per-record MEMBERS for part 1
+    // (each record compressed separately, members concatenated — the CC shape)
+    val parts = Files.list(java.nio.file.Paths.get(dir)).toArray.map(_.toString).sorted
+    def gz(bytes: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(bytes); g.close(); bo.toByteArray
+    }
+    val whole = Files.readAllBytes(java.nio.file.Paths.get(parts(0)))
+    Files.write(java.nio.file.Paths.get(parts(0) + ".gz"), gz(whole))
+    val members = Warc.records(Files.readAllBytes(java.nio.file.Paths.get(parts(1)))).map { r =>
+      val hdr = (s"WARC/1.1${CRLF}WARC-Type: ${r.recordType}$CRLF" +
+        s"WARC-Target-URI: ${r.targetUri.get}$CRLF" +
+        s"WARC-Date: ${r.headers("warc-date")}$CRLF" +
+        s"Content-Length: ${r.payload.length}$CRLF$CRLF").getBytes(StandardCharsets.UTF_8)
+      gz(hdr ++ r.payload ++ s"$CRLF$CRLF".getBytes)
+    }.reduce(_ ++ _)
+    Files.write(java.nio.file.Paths.get(parts(1) + ".gz"), members)
+    parts.foreach(p => Files.delete(java.nio.file.Paths.get(p))) // only .gz remain
+
+    val back = Warc.readPages(spark, dir).toDF()
+    assert(back.count() == 60)
+    val orig = pages.select(col("url"), xxhash64(col("html")).as("h"))
+    val rt = back.select(col("url"), xxhash64(col("html")).as("h"))
+    assert(orig.except(rt).count() == 0 && rt.except(orig).count() == 0,
+      "gz round-trip lost or altered records")
+  }
 }
