@@ -425,6 +425,38 @@ object SparkEntry {
       }
     }),
 
+    // ---- S9 sitemap seed source: deterministic urlset + gz urlset written
+    // to a temp dir, read back through the parser — seeds for the crawl.
+    "q_sitemap_seeds" -> ((s, dir) => {
+      val web = graft.sources.SyntheticWeb.WebConfig(seed = 42L, nPages = 500, nHosts = 12)
+      val urls = (0L until 200L).map(graft.sources.SyntheticWeb.pageUrl(web, _))
+      val xml = urls.take(150).map(u =>
+        s"<url><loc>${u.replace("&", "&amp;")}</loc></url>")
+        .mkString("<urlset>", "", "</urlset>")
+      val gzXml = {
+        val bo = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bo)
+        g.write(urls.drop(150).map(u => s"<url><loc>$u</loc></url>")
+          .mkString("<urlset>", "", "</urlset>").getBytes("UTF-8"))
+        g.close(); bo.toByteArray
+      }
+      val smDir = java.nio.file.Files.createTempDirectory("graft_sitemap_q_").toString
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$smDir/a.xml"), xml.getBytes("UTF-8"))
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$smDir/b.xml.gz"), gzXml)
+        val seeds = graft.sources.Sitemaps.readSeeds(s, smDir)
+          .toDF("url").orderBy("url")
+        val rows = seeds.collect().toIndexedSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), seeds.schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(smDir))
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }),
+
     "q_sim_ivf_topk" -> ((s, dir) => {
       val emb = s.read.parquet(t(dir, "embeddings"))
       val q = emb.where(col("vec_id") === 0)

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Sitemaps
+
+/** Sitemap seed source: urlset and sitemapindex docs parse, XML entities
+  * unescape, malformed input degrades instead of throwing, gz payloads
+  * stream, and readSeeds feeds the crawl's seed shape end-to-end.
+  */
+class SitemapsSpec extends AnyFunSuite with SparkTestSession {
+
+  test("urlset: locs in order, entities unescaped, extra elements ignored") {
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url><loc>http://a.ex/p?x=1&amp;y=2</loc><lastmod>2024-01-01</lastmod></url>
+        |  <url><loc> http://a.ex/q </loc><priority>0.8</priority></url>
+        |  <url><changefreq>daily</changefreq></url>
+        |</urlset>""".stripMargin
+    val doc = Sitemaps.parse(xml.getBytes(StandardCharsets.UTF_8))
+    assert(doc.urls == Seq("http://a.ex/p?x=1&y=2", "http://a.ex/q"))
+    assert(doc.sitemaps.isEmpty)
+  }
+
+  test("sitemapindex: child references, no page urls") {
+    val xml =
+      """<sitemapindex>
+        |  <sitemap><loc>http://a.ex/sitemap1.xml.gz</loc></sitemap>
+        |  <sitemap><loc>http://a.ex/sitemap2.xml.gz</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    val doc = Sitemaps.parse(xml.getBytes(StandardCharsets.UTF_8))
+    assert(doc.urls.isEmpty)
+    assert(doc.sitemaps == Seq("http://a.ex/sitemap1.xml.gz", "http://a.ex/sitemap2.xml.gz"))
+  }
+
+  test("malformed / empty / corrupt-gz input degrades to empty, never throws") {
+    assert(Sitemaps.parse("not xml at all".getBytes).urls.isEmpty)
+    assert(Sitemaps.parse("<urlset><url><loc>http://x/".getBytes).urls.isEmpty)
+    assert(Sitemaps.parse(Array.emptyByteArray).urls.isEmpty)
+    assert(Sitemaps.parse(null).urls.isEmpty)
+    assert(Sitemaps.parse(Array(0x1f.toByte, 0x8b.toByte, 0x00)).urls.isEmpty)
+    // unterminated FINAL url element still yields its loc (truncated tail)
+    val t = Sitemaps.parse("<urlset><url><loc>http://x/a</loc>".getBytes)
+    assert(t.urls == Seq("http://x/a"))
+  }
+
+  test("gz sitemap parses identically; readSeeds reads a directory of both") {
+    val xml = (1 to 20).map(i => s"<url><loc>http://s.ex/p$i</loc></url>")
+      .mkString("<urlset>", "", "</urlset>")
+    val dir = Files.createTempDirectory("graft_sitemaps_").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/a.xml"), xml.getBytes(StandardCharsets.UTF_8))
+    val bo = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bo)
+    g.write((1 to 5).map(i => s"<url><loc>http://t.ex/q$i</loc></url>")
+      .mkString("<urlset>", "", "</urlset>").getBytes(StandardCharsets.UTF_8))
+    g.close()
+    Files.write(java.nio.file.Paths.get(s"$dir/b.xml.gz"), bo.toByteArray)
+
+    val seeds = Sitemaps.readSeeds(spark, dir).collect().sorted
+    assert(seeds.length == 25)
+    assert(seeds.count(_.startsWith("http://s.ex/")) == 20)
+    assert(seeds.count(_.startsWith("http://t.ex/")) == 5)
+  }
+}
