@@ -71,6 +71,35 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     assert(linked.where(size(col("links")) > 0).count() > 0)
   }
 
+  test("crawl over WARC-ingested pages equals crawl over the original pages") {
+    import org.apache.spark.sql.functions._
+    import graft.model.CrawlConfig
+    import graft.plans.{Crawler, CrawlRound}
+    import graft.sources.StateTable
+    val web = SyntheticWeb.WebConfig(seed = 42L, nPages = 400, nHosts = 12)
+    val cfg = CrawlConfig(buckets = 16, roundBudget = 60, maxDepth = 10)
+    val pages = SyntheticWeb.pages(spark, web).toDF().cache()
+    val robots = SyntheticWeb.robotsTable(spark, web)
+    val seeds = SyntheticWeb.seeds(web, 5)
+
+    val warcDir = Files.createTempDirectory("graft_warc_crawl_").toString
+    Warc.writePages(pages, warcDir)
+    val ingested = Warc.readPages(spark, warcDir).toDF().cache()
+
+    val d1 = Files.createTempDirectory("graft_crawl_orig_").toString
+    val d2 = Files.createTempDirectory("graft_crawl_warc_").toString
+    val c1 = Crawler.crawl(spark, d1, pages, robots, seeds, cfg, 3)
+    val c2 = Crawler.crawl(spark, d2, ingested, robots, seeds, cfg, 3)
+    assert(c1.map(r => (r.admitted, r.fetched200, r.newUrls)) ==
+      c2.map(r => (r.admitted, r.fetched200, r.newUrls)), "per-round counters diverge")
+
+    val f1 = StateTable.read(spark, CrawlRound.frontierDir(d1)).select("surt", "depth", "score")
+    val f2 = StateTable.read(spark, CrawlRound.frontierDir(d2)).select("surt", "depth", "score")
+    assert(f1.except(f2).count() == 0 && f2.except(f1).count() == 0,
+      "frontiers diverge between original and WARC-ingested pages")
+    assert(f1.count() > 0, "trivially-empty comparison")
+  }
+
   test("gzip archives stream through, including multi-member (Common Crawl layout)") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft_warc_gz_").toString
