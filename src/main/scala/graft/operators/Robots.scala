@@ -85,6 +85,33 @@ object Robots {
         col("p._3").as("crawl_delay_rounds"))
   }
 
+  /** `Sitemap:` directives of one robots.txt. Per the sitemaps.org/robots
+    * convention these live OUTSIDE user-agent groups and apply globally, so
+    * they are deliberately not part of the frozen [[RobotsPolicy]] decision
+    * shape — extraction is a separate concern feeding seed discovery (S9).
+    */
+  def sitemapUrls(robotsTxt: String): Seq[String] = {
+    if (robotsTxt == null) return Nil
+    robotsTxt.split("\n").toSeq.flatMap { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val ci = line.indexOf(':')
+      if (ci > 0 && line.substring(0, ci).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(ci + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }
+  }
+
+  /** (host, sitemap_url) rows across the robots table — the discovery feed
+    * for [[graft.sources.Sitemaps]]; parsed on the executors, nothing
+    * collected.
+    */
+  def sitemapTable(robotsTable: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val smUdf = udf((txt: String) => sitemapUrls(txt))
+    robotsTable.select(col("host"), explode(smUdf(col("robots_txt"))).as("sitemap_url"))
+  }
+
   /** Pick the arm: broadcast map up to `cfg.robotsBroadcastMaxHosts` hosts,
     * distributed policy-table join above (removing the only driver-memory
     * term that grows with the web).

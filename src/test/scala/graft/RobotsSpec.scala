@@ -43,4 +43,29 @@ class RobotsSpec extends AnyFunSuite with SparkTestSession {
       assert(RobotsPolicy.decide(p.disallow, p.allow, path) == p.allows(path), s"$host $path")
     assert(RobotsPolicy.decide(null, null, "/anything"), "missing policy must allow")
   }
+
+  test("Sitemap directives: global (outside UA groups), case-insensitive, comment-safe") {
+    val txt =
+      """User-agent: *
+        |Disallow: /private/
+        |Sitemap: http://a.ex/sitemap.xml
+        |sitemap: http://a.ex/sitemap2.xml.gz  # trailing comment
+        |User-agent: bot
+        |SITEMAP: http://a.ex/sitemap3.xml
+        |Sitemap:
+        |NotASitemap: http://a.ex/no
+        |""".stripMargin
+    assert(Robots.sitemapUrls(txt) == Seq(
+      "http://a.ex/sitemap.xml", "http://a.ex/sitemap2.xml.gz", "http://a.ex/sitemap3.xml"))
+    assert(Robots.sitemapUrls(null).isEmpty)
+    assert(Robots.sitemapUrls("Disallow: /x").isEmpty)
+    // sitemap extraction must not perturb the frozen policy parse
+    val p = Robots.parse("a.ex", txt, 1.0)
+    assert(p.disallow == Seq("/private/") && p.allows("/ok") && !p.allows("/private/x"))
+
+    import spark.implicits._
+    val df = Seq(("a.ex", txt), ("b.ex", "User-agent: *\nDisallow:")).toDF("host", "robots_txt")
+    val rows = Robots.sitemapTable(df).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.length == 3 && rows.forall(_._1 == "a.ex"))
+  }
 }
