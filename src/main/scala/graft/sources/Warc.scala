@@ -28,7 +28,11 @@ import graft.model.Page
   *
   * Write path: one `.warc` file per partition via `foreachPartition` —
   * embarrassingly parallel, no shuffle; each response record carries
-  * Content-Length, WARC-Record-ID, and a minimal HTTP/1.1 header.
+  * Content-Length, WARC-Record-ID, and a minimal HTTP/1.1 header. The sink
+  * opens `dir` with java.io on each EXECUTOR, so on a cluster `dir` must be
+  * a shared POSIX mount (NFS/FUSE); an object-store deployment would swap
+  * the two stream constructors for the Hadoop FileSystem API — the record
+  * encoding and partition layout are unchanged.
   */
 object Warc {
 
