@@ -77,7 +77,11 @@ object Multimodal {
         var i = 2
         while (i + 4 <= b.length && u8(b, i) == 0xff) {
           val marker = u8(b, i + 1)
-          if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+          if (marker == 0xff) {
+            // spec-legal 0xFF fill/padding bytes before a marker: consume one
+            // and re-classify, else the next marker byte is misread as length
+            i += 1
+          } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
             i += 2 // standalone markers carry no length
           } else if (marker == 0xd9 || marker == 0xda) {
             return None // EOI / start-of-scan before any SOF

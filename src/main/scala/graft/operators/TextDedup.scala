@@ -175,11 +175,32 @@ object TextDedup {
     widths.scanLeft(0)(_ + _).zip(widths)
   }
 
+  /** Keep only rows whose bucket (the given key columns) holds between 2 and
+    * `maxBucket` rows: bucket sizes are PRE-AGGREGATED (scalable hash agg
+    * with map-side combine) and the hot keys dropped via a semi-join BEFORE
+    * any pair-generating self-join runs — so no join task ever sees an
+    * oversized bucket, mirroring [[minhashCandidates]]' `maxBucket` rationale
+    * (a degenerate band value is the boilerplate cluster, whose all-pairs
+    * expansion is quadratic by definition and belongs to [[exactDedup]]).
+    * Size-1 buckets generate no pairs and are dropped as a bonus.
+    */
+  private[graft] def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val ok = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1 && col("__n") <= maxBucket)
+      .select(keys.map(col): _*)
+    banded.join(ok, keys, "left_semi")
+  }
+
   /** SimHash near-dup pairs over a (id, sim) frame: band bucketing with
     * maxDist+1 bands (exact recall by pigeonhole — see [[simhashBands]]),
-    * verified by exact hamming distance.
+    * verified by exact hamming distance. Band buckets above `maxBucket` are
+    * dropped before the self-join (see [[capBuckets]]) — without the cap a
+    * degenerate band value (e.g. every near-empty doc simhashing to 0) is
+    * O(bucket²) inside one join task.
     */
-  def simhashPairsFromSims(withSim: DataFrame, maxDist: Int): DataFrame = {
+  def simhashPairsFromSims(withSim: DataFrame, maxDist: Int,
+      maxBucket: Int = 10000): DataFrame = {
     val bands = simhashBands(maxDist)
     val banded = withSim.select(
       col("id"), col("sim"),
@@ -189,8 +210,9 @@ object TextDedup {
           (shiftrightunsigned(col("sim"), start) bitwiseAND lit(mask)).as("band_val"))
       }: _*)).as("bd"))
       .select(col("id"), col("sim"), col("bd.band_idx"), col("bd.band_val"))
-    val l = banded.select(col("id").as("a"), col("sim").as("sima"), col("band_idx"), col("band_val"))
-    val r = banded.select(col("id").as("b"), col("sim").as("simb"), col("band_idx"), col("band_val"))
+    val kept = capBuckets(banded, Seq("band_idx", "band_val"), maxBucket)
+    val l = kept.select(col("id").as("a"), col("sim").as("sima"), col("band_idx"), col("band_val"))
+    val r = kept.select(col("id").as("b"), col("sim").as("simb"), col("band_idx"), col("band_val"))
     l.join(r, Seq("band_idx", "band_val"))
       .where(col("a") < col("b"))
       .select("a", "b", "sima", "simb").distinct()
@@ -204,22 +226,39 @@ object TextDedup {
     */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame =
+      maxDist: Int = 3, maxBucket: Int = 10000): DataFrame =
     simhashPairsFromSims(
-      docs.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sim")), maxDist)
+      docs.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sim")),
+      maxDist, maxBucket)
 
-  /** Embedding-cosine near-dup pairs via Similarity's LSH buckets. */
+  /** Embedding-cosine near-dup pairs via Similarity's LSH buckets.
+    *
+    * Scale shape (mirrors [[minhashCandidates]]): the bucket self-join
+    * carries ONLY (id, bucket) rows — the embedding vectors never ride the
+    * candidate shuffle; they are re-attached by id afterwards, with the
+    * (small) pair set on the build side. Hot LSH buckets above `maxBucket`
+    * are dropped before the self-join ([[capBuckets]]) — e.g. a zero-vector
+    * cluster all hashing to one bucket would otherwise be O(bucket²) with
+    * fat rows.
+    */
   def embeddingPairs(
       emb: DataFrame, idCol: String, vecCol: String,
-      planes: Int = 12, threshold: Double = 0.95): DataFrame = {
-    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      planes: Int = 12, threshold: Double = 0.95,
+      maxBucket: Int = 10000): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bucketed = base
       .withColumn("bucket", Similarity.lshBucketUdf(col("v"), lit(planes)))
-    val l = bucketed.select(col("id").as("a"), col("v").as("va"), col("bucket"))
-    val r = bucketed.select(col("id").as("b"), col("v").as("vb"), col("bucket"))
-    l.join(r, Seq("bucket"))
+      .select("id", "bucket")
+    val kept = capBuckets(bucketed, Seq("bucket"), maxBucket)
+    val pairs = kept.select(col("id").as("a"), col("bucket"))
+      .join(kept.select(col("id").as("b"), col("bucket")), Seq("bucket"))
       .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    pairs
+      .join(base.select(col("id").as("a"), col("v").as("va")), Seq("a"))
+      .join(base.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
       .withColumn("cos", round(Similarity.cosineUdf(col("va"), col("vb")), 6))
       .where(col("cos") >= threshold)
-      .select("a", "b", "cos").distinct()
+      .select("a", "b", "cos")
   }
 }

@@ -199,6 +199,17 @@ object CrawlRound {
   private[graft] def chooseBroadcastAnti(prevCandidates: Option[Long], maxRows: Long): Boolean =
     prevCandidates.exists(c => c <= maxRows / candidateGrowthMargin)
 
+  /** J4 host_state broadcast budget (rows). */
+  private[graft] val hostStateBroadcastMaxRows = 65536L
+
+  /** J4 arm choice — fail-safe direction is DISTRIBUTED, same as
+    * [[chooseBroadcastAnti]]: a MISSING host_state manifest (crashed or
+    * legacy state dir) means the host-table size is unknown, and an
+    * unknown-size table must NOT be broadcast through the driver.
+    */
+  private[graft] def chooseBroadcastHostState(manifestRows: Option[Long]): Boolean =
+    manifestRows.exists(_ <= hostStateBroadcastMaxRows)
+
   private[graft] def exactAntiJoin(
       needExact: DataFrame,
       seen: DataFrame,
@@ -277,7 +288,8 @@ object CrawlRound {
     val hostStateSlim = hostState.select(col("host"), col("tokens"), col("last_round"))
     val admitCand = admitCandidates(
         frontier, hostStateSlim,
-        StateTable.manifest(hostStateDir(stateDir), prevV).forall(_.nRows <= 65536),
+        chooseBroadcastHostState(
+          StateTable.manifest(hostStateDir(stateDir), prevV).map(_.nRows)),
         attachDelay, cfg, round)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // In the politeness-bound regime (token admissions ≤ K, the steady state)

@@ -74,6 +74,70 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(uncapped.exists(p => p._1 < 60 && p._2 < 60))
   }
 
+  test("capBuckets: no surviving join bucket exceeds the cap or is a singleton") {
+    import spark.implicits._
+    // skewed key distribution: key 0 holds 500 rows (hot), keys 1..20 hold
+    // 1..20 rows — exercising the drop-above-cap and drop-singleton edges
+    val rows = (0 until 500).map(i => (i.toLong, 0L)) ++
+      (1 to 20).flatMap(k => (0 until k).map(i => (1000L * k + i, k.toLong)))
+    val df = rows.toDF("id", "bucket")
+    val cap = 10
+    val kept = TextDedup.capBuckets(df, Seq("bucket"), cap)
+    val sizes = kept.groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.values.forall(n => n >= 2 && n <= cap),
+      s"bucket size out of [2,$cap]: $sizes")
+    // kept is EXACTLY the rows of in-range buckets — nothing dropped inside
+    // a surviving bucket, nothing retained from a hot or singleton bucket
+    val wantKeys = (2 to cap).map(_.toLong).toSet
+    assert(sizes.keySet == wantKeys, s"surviving buckets $sizes != $wantKeys")
+    assert(kept.count() == wantKeys.map(identity).sum)
+  }
+
+  test("simhash hot-band cap drops degenerate buckets, keeps real near-dups") {
+    import spark.implicits._
+    // 40 identical simhashes → every band is one degenerate 40-id bucket
+    // (the O(bucket²) single-join-task blowup the cap prevents); plus a
+    // genuine near-dup pair at hamming 1 in its own normal-sized buckets
+    val a = 0x0f0f0f0f0f0f0f0fL
+    val sims = (0 until 40).map(i => (i.toLong, 0L)) ++ Seq((100L, a), (101L, a ^ 1L))
+    val df = sims.toDF("id", "sim")
+    val capped = TextDedup.simhashPairsFromSims(df, maxDist = 3, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(capped == Set((100L, 101L, 1)),
+      s"capped run must keep exactly the real near-dup pair: $capped")
+    // the cap is the only thing separating the two runs
+    val uncapped = TextDedup.simhashPairsFromSims(df, maxDist = 3, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(uncapped.contains((100L, 101L, 1)))
+    assert(uncapped.exists(p => p._1 < 40 && p._2 < 40),
+      "degenerate cluster pairs absent even uncapped — vacuous test")
+    assert((uncapped -- capped).forall(p => p._1 < 40 && p._2 < 40))
+  }
+
+  test("embedding hot-bucket cap drops degenerate LSH buckets, keeps near pair") {
+    import spark.implicits._
+    // 30 identical vectors → one degenerate LSH bucket with cos 1.0 pairs;
+    // plus a near-identical pair elsewhere in hyperplane space
+    val u = Array.fill(8)(1.0f)
+    val v1 = Array.tabulate(8)(i => if (i == 0) -1.0f else -0.9f)
+    val v2 = Array.tabulate(8)(i => if (i == 0) -1.0f else -0.91f)
+    val emb = ((0 until 30).map(i => (i.toLong, u.toSeq)) ++
+      Seq((100L, v1.toSeq), (101L, v2.toSeq))).toDF("vec_id", "embedding")
+    val capped = TextDedup.embeddingPairs(emb, "vec_id", "embedding",
+        planes = 6, threshold = 0.95, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)),
+      s"capped run must keep exactly the real near pair: $capped")
+    val uncapped = TextDedup.embeddingPairs(emb, "vec_id", "embedding",
+        planes = 6, threshold = 0.95, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((100L, 101L)))
+    assert(uncapped.exists(p => p._1 < 30 && p._2 < 30),
+      "degenerate cluster pairs absent even uncapped — vacuous test")
+    assert((uncapped -- capped).forall(p => p._1 < 30 && p._2 < 30))
+  }
+
   test("minhash pairs: shuffle-dieted pipeline equals band self-join reference") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

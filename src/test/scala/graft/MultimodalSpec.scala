@@ -59,6 +59,17 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     // SOS before any SOF → no metadata
     val noSof = bytes(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02)
     assert(HeaderCodec.parse(noSof).isEmpty)
+    // spec-legal 0xFF fill bytes before a marker must be consumed, not
+    // misread as a length segment
+    val padded = bytes(
+      0xff, 0xd8, // SOI
+      0xff, 0xff, 0xff, // fill bytes
+      0xff, 0xc0, 0x00, 0x08, // SOF0, len 8
+      0x08, // precision
+      0x01, 0xe0, // height 480
+      0x02, 0x80, // width 640
+      0x03) // 3 components
+    assert(HeaderCodec.parse(padded).contains(("jpeg", 640, 480, 3)))
   }
 
   test("non-media payloads fall back to the deterministic stub") {

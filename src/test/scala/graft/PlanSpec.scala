@@ -214,6 +214,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!chooseBroadcastAnti(Some(1L), 0L))
   }
 
+  test("J4 gate: missing host_state manifest picks the distributed join arm") {
+    import graft.plans.CrawlRound.{chooseBroadcastHostState, hostStateBroadcastMaxRows}
+    // missing manifest (crashed/legacy state dir): the host-table size is
+    // unknown → fail-safe DISTRIBUTED, same direction as chooseBroadcastAnti
+    assert(!chooseBroadcastHostState(None))
+    assert(chooseBroadcastHostState(Some(0L)))
+    assert(chooseBroadcastHostState(Some(hostStateBroadcastMaxRows)))
+    assert(!chooseBroadcastHostState(Some(hostStateBroadcastMaxRows + 1)))
+  }
+
   test("IVF probe: partition-pruned scan, brute-force agreement within LSH recall") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
