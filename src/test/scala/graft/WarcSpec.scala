@@ -51,6 +51,61 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     assert(Warc.records(Array.emptyByteArray).isEmpty)
   }
 
+  test("non-2xx response records are not ingested as pages") {
+    import org.apache.spark.sql.functions._
+    // status-line parsing unit cases
+    def st(s: String) = Warc.httpStatus(s.getBytes(StandardCharsets.UTF_8))
+    assert(st(s"HTTP/1.1 200 OK$CRLF$CRLF<x/>") == 200)
+    assert(st(s"HTTP/1.1 404 Not Found$CRLF$CRLF<err/>") == 404)
+    assert(st(s"HTTP/1.0 301 Moved$CRLF$CRLF") == 301)
+    assert(st("<bare-body/>") == 200) // no status line: nothing contradicts success
+    assert(st("HTTP/1.1 xx") == -1) // malformed digits → dropped by the /100==2 filter
+    assert(Warc.httpStatus(Array.emptyByteArray) == 200)
+
+    val dir = Files.createTempDirectory("graft_warc_status_").toString
+    val ok = s"HTTP/1.1 200 OK${CRLF}Content-Type: text/html$CRLF$CRLF<html>ok</html>"
+    val notFound = s"HTTP/1.1 404 Not Found$CRLF$CRLF<html>error page</html>"
+    val redirect = s"HTTP/1.1 301 Moved Permanently${CRLF}Location: http://a.ex/new$CRLF$CRLF"
+    val warc =
+      record("response", "http://a.ex/ok", ok) +
+        record("response", "http://a.ex/missing", notFound) +
+        record("response", "http://a.ex/old", redirect) +
+        record("response", "http://b.ex/bare", "<bare-body/>")
+    Files.write(java.nio.file.Paths.get(dir, "f.warc"),
+      warc.getBytes(StandardCharsets.UTF_8))
+    val urls = Warc.readPages(spark, dir).toDF()
+      .select(col("url")).collect().map(_.getString(0)).toSet
+    assert(urls == Set("http://a.ex/ok", "http://b.ex/bare"),
+      s"non-2xx records leaked into pages: $urls")
+  }
+
+  test("UTF-8 WARC-Target-URI survives header decoding") {
+    val uri = "http://exämple.example/päge→1"
+    val warc = record("response",
+      uri, s"HTTP/1.1 200 OK$CRLF$CRLF<x/>")
+    val recs = Warc.records(warc.getBytes(StandardCharsets.UTF_8)).toSeq
+    assert(recs.length == 1)
+    assert(recs.head.targetUri.contains(uri),
+      s"mojibake'd URI: ${recs.head.targetUri}")
+  }
+
+  test("sink stages to attempt-unique tmp and publishes atomically (no orphans)") {
+    val dir = Files.createTempDirectory("graft_warc_stage_").toString
+    val pages = SyntheticWeb.pages(
+      spark, SyntheticWeb.WebConfig(seed = 42L, nPages = 50, nHosts = 4)).toDF()
+    Warc.writePages(pages.repartition(4), dir)
+    val names = Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString.split("/").last).sorted.toSeq
+    assert(names == (0 until 4).map(i => f"part-$i%05d.warc"),
+      s"unexpected sink output (tmp orphan or missing part): $names")
+    // re-running over the same dir replaces the files, still no orphans
+    Warc.writePages(pages.repartition(4), dir)
+    val again = Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString.split("/").last).sorted.toSeq
+    assert(again == names)
+    assert(Warc.readPages(spark, dir).count() == 50)
+  }
+
   test("write -> read round-trips the synthetic corpus byte-identically") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft_warc_").toString
