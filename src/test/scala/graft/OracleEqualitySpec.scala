@@ -61,13 +61,15 @@ class OracleEqualitySpec extends AnyFunSuite with SparkTestSession {
   def compareCrawl(seeds: Seq[String], budget: Int, rounds: Int, tag: String,
       broadcastFetchMaxBudget: Int = 65536,
       exactAntiBroadcastMaxRows: Long = 500000L,
-      robotsBroadcastMaxHosts: Long = 1000000L): Unit = {
+      robotsBroadcastMaxHosts: Long = 1000000L,
+      robotsTable: org.apache.spark.sql.DataFrame = null): Unit = {
     val cfg = CrawlConfig(buckets = 16, roundBudget = budget, maxDepth = 10,
       broadcastFetchMaxBudget = broadcastFetchMaxBudget,
       exactAntiBroadcastMaxRows = exactAntiBroadcastMaxRows,
       robotsBroadcastMaxHosts = robotsBroadcastMaxHosts)
     val dir = tmpDir(s"oracle-$tag")
-    Crawler.crawl(spark, dir, pagesDf, robotsDf, seeds, cfg, rounds)
+    Crawler.crawl(spark, dir, pagesDf,
+      Option(robotsTable).getOrElse(robotsDf), seeds, cfg, rounds)
     val ocfg = OracleCrawler.Cfg(budget = budget, maxDepth = 10)
     val (ost, osnaps) = OracleCrawler.crawl(seeds, pagesMap, robotsMap, ocfg, rounds)
 
@@ -140,6 +142,48 @@ class OracleEqualitySpec extends AnyFunSuite with SparkTestSession {
       SyntheticWeb.pageUrl(web, 42L))
     compareCrawl(seeds, budget = 15, rounds = 6, tag = "c6",
       robotsBroadcastMaxHosts = 0L)
+  }
+
+  test("crawl equality — config 7: seeds discovered robots→Sitemap:→readSeeds ≡ explicit") {
+    import org.apache.spark.sql.functions.{concat, lit, when}
+    val explicit = SyntheticWeb.seeds(web, 10)
+
+    // "host" the seed URLs in two sitemap files announced by two hosts'
+    // robots.txt (the harness substitutes download: announced URL → local
+    // file written next to the others, exactly the Sitemaps contract)
+    val smDir = tmpDir("oracle-c7-sitemaps")
+    val (smA, smB) = explicit.splitAt(5)
+    def writeSm(name: String, urls: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(smDir, name),
+        urls.map(u => s"<url><loc>${u.replace("&", "&amp;")}</loc></url>")
+          .mkString("<urlset>", "", "</urlset>")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeSm("sitemap-a.xml", smA)
+    writeSm("sitemap-b.xml", smB)
+    val hostA = SyntheticWeb.hostName(1)
+    val hostB = SyntheticWeb.hostName(2)
+    val robotsAug = robotsDf.withColumn("robots_txt",
+      when(col("host") === hostA,
+        concat(col("robots_txt"), lit(s"Sitemap: http://$hostA/sitemap-a.xml\n")))
+        .when(col("host") === hostB,
+          concat(col("robots_txt"), lit(s"Sitemap: http://$hostB/sitemap-b.xml\n")))
+        .otherwise(col("robots_txt")))
+
+    // DISCOVERY: robots table → Sitemap: directives → sitemap files → seeds
+    val announced = graft.operators.Robots.sitemapTable(robotsAug)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(announced == Set(
+      (hostA, s"http://$hostA/sitemap-a.xml"), (hostB, s"http://$hostB/sitemap-b.xml")))
+    val discovered = graft.sources.Sitemaps.readSeeds(spark, smDir).collect().toSeq.sorted
+    assert(discovered.toSet == explicit.toSet,
+      s"discovery loop lost or altered seeds: ${discovered.toSet -- explicit.toSet} / ${explicit.toSet -- discovered.toSet}")
+
+    // the crawl itself runs over the AUGMENTED robots (proving Sitemap:
+    // directives perturb no policy decision) with the DISCOVERED seed list;
+    // the oracle runs the plain robots map — full engine ≡ oracle equality
+    compareCrawl(discovered, budget = 40, rounds = 5, tag = "c7",
+      robotsTable = robotsAug)
   }
 
   test("crawl equality — config 3: 25 seeds with dupes + messy forms, K=60, 5 rounds") {

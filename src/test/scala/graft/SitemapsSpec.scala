@@ -48,6 +48,50 @@ class SitemapsSpec extends AnyFunSuite with SparkTestSession {
     assert(t.urls == Seq("http://x/a"))
   }
 
+  test("CDATA-wrapped locs unwrap to the literal URL (no entity decode inside)") {
+    val xml =
+      """<urlset>
+        |  <url><loc><![CDATA[http://a.ex/p?x=1&y=2]]></loc></url>
+        |  <url><loc> <![CDATA[ http://a.ex/q ]]> </loc></url>
+        |  <url><loc>http://a.ex/plain&amp;esc</loc></url>
+        |</urlset>""".stripMargin
+    val doc = Sitemaps.parse(xml.getBytes(StandardCharsets.UTF_8))
+    // CDATA content is literal (the raw & stays raw, nothing double-decodes);
+    // non-CDATA locs still entity-unescape
+    assert(doc.urls == Seq("http://a.ex/p?x=1&y=2", "http://a.ex/q", "http://a.ex/plain&esc"))
+    // sitemapindex CDATA too
+    val idx = Sitemaps.parse(
+      "<sitemapindex><sitemap><loc><![CDATA[http://a.ex/s1.xml]]></loc></sitemap></sitemapindex>"
+        .getBytes(StandardCharsets.UTF_8))
+    assert(idx.sitemaps == Seq("http://a.ex/s1.xml"))
+  }
+
+  test("protocol-scale sitemap streams through (50k URLs, multi-MB document)") {
+    // ~6 MB uncompressed: the streaming scanner holds at most one <loc> at a
+    // time — this also pins order and completeness at the 50k protocol cap
+    val n = 50000
+    val bo = new java.io.ByteArrayOutputStream(8 << 20)
+    val w = new java.io.OutputStreamWriter(bo, StandardCharsets.UTF_8)
+    w.write("""<?xml version="1.0" encoding="UTF-8"?><urlset>""")
+    (1 to n).foreach { i =>
+      w.write(s"<url><loc>http://big.ex/deep/path/segment/p$i</loc>" +
+        s"<lastmod>2024-01-01</lastmod><priority>0.5</priority></url>")
+    }
+    w.write("</urlset>"); w.flush()
+    val bytes = bo.toByteArray
+    assert(bytes.length > (4 << 20), s"fixture too small: ${bytes.length}")
+    val doc = Sitemaps.parseStream(new java.io.ByteArrayInputStream(bytes))
+    assert(doc.urls.length == n)
+    assert(doc.urls.head == "http://big.ex/deep/path/segment/p1")
+    assert(doc.urls.last == s"http://big.ex/deep/path/segment/p$n")
+    // and gz'd: same result through the same streaming path
+    val gzo = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(gzo)
+    g.write(bytes); g.close()
+    val gzDoc = Sitemaps.parseStream(new java.io.ByteArrayInputStream(gzo.toByteArray))
+    assert(gzDoc.urls == doc.urls)
+  }
+
   test("gz sitemap parses identically; readSeeds reads a directory of both") {
     val xml = (1 to 20).map(i => s"<url><loc>http://s.ex/p$i</loc></url>")
       .mkString("<urlset>", "", "</urlset>")
