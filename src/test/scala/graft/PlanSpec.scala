@@ -197,6 +197,50 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(carried.count() + admitCand.count() == frontier.count())
   }
 
+  test("admission agg ≡ window rank at burst ∈ {1, 2, 17, 100}") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.CrawlRound
+    // 4 hosts × 120 rows (more rows than even the largest burst cap), messy
+    // depth/score mix with score-key ties broken by surt
+    val frontier = (for { h <- 0 until 4; i <- 0 until 120 } yield (
+      f"host$h)/p$i%03d", s"http://host$h/p$i", s"host$h", h,
+      (h * 1000 + i).toLong, i % 4, 1.0 / (i % 7 + 1), 0L, ""))
+      .toDF(CrawlRound.frontierCols: _*)
+    // varied refill inputs: tokens, staleness, and per-host delay
+    // host0: 5 rounds stale at delay 0.25 → refill 20.2 (capped by burst)
+    val hs = Seq(("host0", 0.2, 1L), ("host1", 1.4, 1L), ("host2", 0.0, 5L))
+      .toDF("host", "tokens", "last_round")
+    val attachDelay: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.withColumn("delay",
+        when(col("host") === "host0", lit(0.25)).otherwise(lit(1.0)))
+    val round = 6L
+    for (burst <- Seq(1.0, 2.0, 17.0, 100.0)) {
+      val cfg = graft.model.CrawlConfig(burstTokens = burst)
+      val got = CrawlRound.admitCandidates(
+          frontier, hs, broadcastHostState = true, attachDelay, cfg, round)
+        .collect().map(_.toSeq).toSet
+      // reference: the full-frontier window-rank formulation
+      val withTokens = attachDelay(frontier.join(broadcast(hs), Seq("host"), "left"))
+        .withColumn("tokens_refilled", least(lit(cfg.burstTokens),
+          coalesce(col("tokens"), lit(cfg.initialTokens)) +
+            (lit(round) - coalesce(col("last_round"), lit(round - 1))) / col("delay")))
+      val wHost = Window.partitionBy("host")
+        .orderBy(col("depth").asc, CrawlRound.scoreKey(col("score")).desc, col("surt").asc)
+      val want = withTokens.withColumn("rn", row_number().over(wHost))
+        .where(col("rn") <= floor(col("tokens_refilled")))
+        .select("surt", "url", "host", "host_bucket", "depth", "score", "tokens_refilled", "delay")
+        .collect().map(_.toSeq).toSet
+      assert(got == want, s"burst=$burst: agg admission ≠ window admission " +
+        s"(missing=${(want -- got).size} extra=${(got -- want).size})")
+      assert(got.nonEmpty, s"burst=$burst: vacuous comparison")
+      // the admitted volume must actually grow with burst headroom: at
+      // burst=100 host0's refill admits far more than at burst=2
+      if (burst == 100.0)
+        assert(got.count(_(2) == "host0") > 17, "burst headroom unused — weak fixture")
+    }
+  }
+
   test("D3 gate: missing counter or candidate spike picks the distributed arm") {
     import graft.plans.CrawlRound.{candidateGrowthMargin, chooseBroadcastAnti}
     val gate = 500000L
