@@ -428,8 +428,14 @@ object Bench {
           samples.map(s => f"${s._2._1}%.0f").mkString("[", ",", "]"))
       val dataflowOnly = sys.env.get("SPARK_GRAFT_BENCH_DATAFLOW_ONLY").contains("1")
       val crawlOnly = sys.env.get("SPARK_GRAFT_BENCH_CRAWL_ONLY").contains("1")
-      val crawlForks = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORKS_CRAWL", "2").toInt
-      val dataflowForks = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORKS_DATAFLOW", "3").toInt
+      // fork counts (round 4): crawl 2→3 and dataflow 3→5. With per-width
+      // max over interleaved forks, the estimator's bias is the probability
+      // that EVERY fork of one width lands in a contended host window; the
+      // round-3 inversion (both crawl-hi forks slow while both lo forks ran
+      // clean) is exactly that failure mode at n=2. n=3/5 shrinks it
+      // geometrically and gives the published spread real support.
+      val crawlForks = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORKS_CRAWL", "3").toInt
+      val dataflowForks = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORKS_DATAFLOW", "5").toInt
       val ((u8, s8), (u32, s32), crawlSamples) =
         if (dataflowOnly) ((0.0, 0.0), (0.0, 0.0), Seq.empty) else widthSeries("crawl", crawlForks)
       val eff = if (dataflowOnly) 0.0 else (u32 / u8) / (hiCores.toDouble / loCores)
@@ -438,6 +444,16 @@ object Bench {
       val deff = if (crawlOnly) 0.0 else (d32 / d8) / (hiCores.toDouble / loCores)
       val (cs8, cs32) = sampleJson(crawlSamples)
       val (dfs8, dfs32) = sampleJson(dataflowSamples)
+      // stated spread per width (round-3 verdict #8): min–max across forks
+      // plus the half-range as % of max — the honest error bar on each row
+      def spreadStr(xs: Seq[Double]): String =
+        if (xs.isEmpty) "n/a"
+        else if (xs.size == 1) f"${xs.head}%.0f (single sample)"
+        else f"${xs.min}%.0f-${xs.max}%.0f (half-range ${(xs.max - xs.min) / 2 / xs.max * 100}%.0f%% of max)"
+      val crawlSpread =
+        s"full-loop lo ${spreadStr(crawlSamples.map(_._1._1))}, hi ${spreadStr(crawlSamples.map(_._2._1))}"
+      val dataflowSpread =
+        s"dataflow lo ${spreadStr(dataflowSamples.map(_._1._1))}, hi ${spreadStr(dataflowSamples.map(_._2._1))}"
       val (nPages, nHosts, nSeeds, measured, cfg, pct, warmup) =
         (st.web.nPages, st.web.nHosts, st.seeds.length, st.measured, st.cfg, st.pct, st.warmup)
 
@@ -483,6 +499,7 @@ object Bench {
            |see protocol note below on why max, with all samples disclosed):
            |full loop local[8] $cs8 local[32] $cs32; dataflow local[8] $dfs8
            |local[32] $dfs32.
+           |Spread across forks: $crawlSpread; $dataflowSpread.
            |
            |The full-loop number includes per-round snapshot-commit IO and
            |driver orchestration, which on a single shared box (one disk, one

@@ -130,6 +130,16 @@ final case class CrawlConfig(
     // round. 0 keeps all history (full time travel — the test default);
     // >= 2 required when enabled so concurrent-commit resume stays safe.
     retentionVersions: Int = 0,
+    // small-table commit width: host_state (when its manifest proves it
+    // small) and the per-round fetch-log delta (≤ roundBudget rows by
+    // construction) coalesce to this many output files per snapshot,
+    // INDEPENDENT of compute width. Without the cap, shuffle.partitions ==
+    // cores makes every tiny commit write `cores` near-empty parquet files —
+    // per-round commit overhead that grows with width and never amortizes
+    // (the round-3 width profile showed 64-task ~0.5s-per-task writes of
+    // ~1.5k-row host_state partitions). Big tables (frontier, compacted
+    // chains) keep full width — their write parallelism is real work.
+    commitWriteParallelism: Int = 8,
     // robots arm gate: up to this many hosts the policy map is collected and
     // broadcast (the contract's "robots.txt cache as a broadcast map" — O(1)
     // map-side probe, no join shuffle; ~1M hosts ≈ low-hundreds MB driver

@@ -202,6 +202,17 @@ object CrawlRound {
   /** J4 host_state broadcast budget (rows). */
   private[graft] val hostStateBroadcastMaxRows = 65536L
 
+  /** host_state rows below which its snapshot write coalesces to
+    * `cfg.commitWriteParallelism` files (≈ a few hundred MB at slim-row
+    * sizes). The gate reads the PREVIOUS round's manifest — fail-safe
+    * direction is FULL WIDTH (an unknown-size table keeps its parallel
+    * write), mirroring [[chooseBroadcastHostState]]'s missing-manifest rule.
+    */
+  private[graft] val smallCommitMaxRows = 4194304L
+
+  private[graft] def chooseCoalescedCommit(manifestRows: Option[Long]): Boolean =
+    manifestRows.exists(_ <= smallCommitMaxRows)
+
   /** J4 arm choice — fail-safe direction is DISTRIBUTED, same as
     * [[chooseBroadcastAnti]]: a MISSING host_state manifest (crashed or
     * legacy state dir) means the host-table size is unknown, and an
@@ -454,8 +465,12 @@ object CrawlRound {
           // the log chain on the hot path), so it only runs under retention
           val compactLog = cfg.retentionVersions > 0 &&
             StateTable.shouldCompact(fetchLogDir(stateDir), prevV, cfg.compactEvery)
+          // the per-round delta is ≤ roundBudget rows by construction: write
+          // it at the fixed small-table width, not one near-empty file per
+          // core (see CrawlConfig.commitWriteParallelism). Compacted chains
+          // can be arbitrarily large — they keep full write parallelism.
           val logData =
-            if (!compactLog) fetchLog
+            if (!compactLog) fetchLog.coalesce(cfg.commitWriteParallelism)
             else StateTable.readAppended(spark, fetchLogDir(stateDir), Some(prevV),
               Some(graft.model.Schemas.fetchLog)).unionByName(fetchLog)
           val n = StateTable.writeSnap(logData, fetchLogDir(stateDir), version, partitioned = false)
@@ -497,9 +512,17 @@ object CrawlRound {
       // partitionBy layout cost ~1s/round in a profiled SINGLE-task stage —
       // AQE coalesces the tiny repartition to one partition, whose one task
       // then writes all 64 bucket dirs serially (the write-amplification the
-      // layout was supposed to avoid, reintroduced at small row counts)
+      // layout was supposed to avoid, reintroduced at small row counts).
+      // Round 4: when the manifest proves the table small, the write
+      // coalesces to the fixed small-table width instead of one near-empty
+      // file per core (width-insensitive commit floor, round-3 verdict #1).
       Future(tagged(s"commit:host_state r$round")(
-        StateTable.commit(nextHostState, hostStateDir(stateDir), version, round, counters,
+        StateTable.commit(
+          if (chooseCoalescedCommit(
+              StateTable.manifest(hostStateDir(stateDir), prevV).map(_.nRows)))
+            nextHostState.coalesce(cfg.commitWriteParallelism)
+          else nextHostState,
+          hostStateDir(stateDir), version, round, counters,
           partitioned = false))))
     Await.result(Future.sequence(otherCommits :+ seenCommit.map(_ => 0L) :+ fetchLogCommit), Duration.Inf)
     val nFetched200 = Await.result(fetchLogCommit, Duration.Inf)
