@@ -145,9 +145,16 @@ object SparkEntry {
     }),
 
     // ---- W4: rolling frame ----
+    // window ORDER BY must be TOTAL: the synthetic lineitem duplicates
+    // (l_orderkey, l_linenumber) pairs (175 within one suppkey at sf0.1), so
+    // without the l_quantity tie-break the 3-row frame depends on tie order
+    // and the rolling sum diverges between engines (round-4 sf0.1 find; no
+    // full-row duplicates exist, so this key is effectively unique — and a
+    // full duplicate would have equal quantity, leaving the sum invariant)
     "q_w4_rolling" -> ((s, dir) => {
       val w = Window.partitionBy("l_suppkey")
-        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc, col("l_quantity").asc)
         .rowsBetween(-2, 0)
       s.read.parquet(t(dir, "lineitem"))
         .withColumn("roll_qty", round(sum("l_quantity").over(w), 2))
@@ -162,12 +169,19 @@ object SparkEntry {
       val orders = s.read.parquet(t(dir, "orders"))
       val li = s.read.parquet(t(dir, "lineitem"))
       val w = Window.partitionBy("l_orderkey")
+      // contributions are quantized to integer micro-units BEFORE the sum —
+      // the same determinism move as the engine's [SPEC-O1] scoreKey: a
+      // double sum's value depends on accumulation order (hash-agg merge
+      // order here, DuckDB thread scheduling there), and at sf0.1 one
+      // partkey's cash landed exactly on a .xx5 rounding boundary, flipping
+      // the last cent between runs. Long sums are order-exact.
       li.withColumn("n_links", count(lit(1)).over(w))
         .join(orders.select(col("o_orderkey"), col("o_totalprice")),
           col("l_orderkey") === col("o_orderkey"))
-        .withColumn("contrib", col("o_totalprice") / col("n_links"))
+        .withColumn("contrib_micro",
+          round(col("o_totalprice") * lit(1000000L) / col("n_links"), 0).cast("long"))
         .groupBy("l_partkey")
-        .agg(round(sum("contrib"), 2).as("cash"))
+        .agg(round(sum("contrib_micro") / 1e6, 2).as("cash"))
         .orderBy("l_partkey")
     }),
 
@@ -518,6 +532,27 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // ---- exact all-pairs embedding cosine over a bounded sample: the
+    // verify-stage twin of q_dedup_jaccard for the embedding family,
+    // DuckDB-oracled via list_cosine_similarity (round 4 — pins the
+    // float→double cosine kernel itself, which the LSH-bucketed L4 pipeline
+    // then reuses). The bounded NL join IS the verify semantics: at scale
+    // the pair set comes from L4's capped LSH buckets; this query is the
+    // exactness contract on a sampled sub-corpus. Threshold 0.3 keeps
+    // 8/11/148 rows at sf0.001/0.01/0.1 (measured — non-vacuous at every
+    // SF); round 5 absorbs float-order noise between the two engines. ----
+    "q_dedup_cosine_exact" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+        .where(pmod(col("vec_id"), lit(10)) === 0)
+      val l = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+      val r = emb.select(col("vec_id").as("b"), col("embedding").as("vb"))
+      l.join(r, col("a") < col("b"))
+        .withColumn("cos", round(Similarity.cosineUdf(col("va"), col("vb")), 5))
+        .where(col("cos") >= 0.3)
+        .select("a", "b", "cos")
+        .orderBy("a", "b")
+    }),
+
     // ---- minhash→exact-verify, DuckDB-oracled END TO END (round-1 #10 /
     // round-2 verdict #2): the engine emits LSH candidate pairs verified by
     // exact string-trigram Jaccard ≥ 0.5; the oracle recomputes ALL pairs ≥
@@ -647,13 +682,14 @@ object SparkEntry {
     "q_w4_rolling" -> ("""
       SELECT l_suppkey, l_orderkey, l_linenumber,
              round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-               ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+               ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS roll_qty
       FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber"""),
 
     "q_a3_opic" -> ("""
       WITH n AS (SELECT l_orderkey AS k, count(*) AS n_links FROM lineitem GROUP BY 1)
-      SELECT l_partkey, round(sum(o_totalprice / n_links), 2) AS cash
+      SELECT l_partkey,
+             round(sum(cast(round(o_totalprice * 1000000 / n_links, 0) AS BIGINT)) / 1000000.0, 2) AS cash
       FROM lineitem JOIN n ON l_orderkey = n.k
                     JOIN orders ON l_orderkey = o_orderkey
       GROUP BY l_partkey ORDER BY l_partkey"""),
@@ -773,6 +809,17 @@ object SparkEntry {
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       WHERE round(cast(len(list_intersect(a.s, b.s)) AS DOUBLE) /
                   greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) >= 0.01
+      ORDER BY a, b"""),
+
+    // exact all-pairs cosine over the sampled sub-corpus — pins the engine's
+    // float→double cosine kernel against DuckDB's
+    "q_dedup_cosine_exact" -> ("""
+      WITH s AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id % 10 = 0)
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             round(list_cosine_similarity(a.v, b.v), 5) AS cos
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 5) >= 0.3
       ORDER BY a, b"""),
 
     "q_sim_bruteforce_topk" -> ("""
