@@ -10,11 +10,13 @@ import graft.functions.Bloom64
   *
   * The Spark-side plumbing is REAL and tested — schema, partition-batched
   * processing (mapPartitions over typed rows, the Scala analogue of a
-  * mapInPandas batch UDF), deterministic output shapes. The codec step is a
-  * STUB: no image/audio library exists in this container, so `decodeStub`
-  * derives metadata/features deterministically from the bytes; swap
-  * `decodeStub`/`featuresStub` for a real codec at deployment — every other
-  * line stays.
+  * mapInPandas batch UDF), deterministic output shapes. Container METADATA
+  * is parsed for real from the bytes per the public specs (PNG/GIF/BMP/JPEG
+  * dimensions+channels; WAV channels+duration; MP4 duration+track dims).
+  * Only the sample/pixel DECODE is a stub: no codec library exists in this
+  * container, so `decodeFallback`/`featuresStub` derive deterministic
+  * stand-ins from the bytes; swap them for a real codec at deployment —
+  * every other line stays.
   */
 object Multimodal {
 
@@ -25,9 +27,10 @@ object Multimodal {
   final case class Features(media_id: Long, feature: Array[Float])
   final case class Frame(media_id: Long, frame_idx: Int, ts_ms: Long, phash: Long)
 
-  /** REAL container-header metadata for the common web image formats, parsed
-    * directly from the bytes per the public format specs — no codec library
-    * needed for dimensions/channels. Pixel decode stays stubbed (see
+  /** REAL container-header metadata for the common web image formats plus
+    * WAV audio and MP4 (ISO-BMFF) video, parsed directly from the bytes per
+    * the public format specs — no codec library needed for dimensions /
+    * channels / durations. Sample/pixel decode stays stubbed (see
     * [[decodeStub]]).
     */
   private[graft] object HeaderCodec {
@@ -36,16 +39,119 @@ object Multimodal {
     private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
     private def be32(b: Array[Byte], i: Int): Long =
       (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def be64(b: Array[Byte], i: Int): Long = (be32(b, i) << 32) | be32(b, i + 4)
     private def le32(b: Array[Byte], i: Int): Long =
       u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
     private def sane(w: Long, h: Long): Boolean =
       w >= 1 && w <= 1000000 && h >= 1 && h <= 1000000
+    private def tag(b: Array[Byte], i: Int): String =
+      if (i + 4 > b.length) "" else new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** WAV (RIFF): chunk walk for `fmt ` (channels, byte rate) and `data`
+      * (payload size); duration = dataSize / byteRate. Total on malformed.
+      */
+    private def parseWav(b: Array[Byte]): Option[(String, Int, Int, Int, Long)] = {
+      if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+      var i = 12
+      var channels = 0
+      var byteRate = 0L
+      var dataSize = -1L
+      while (i + 8 <= b.length && (channels == 0 || dataSize < 0)) {
+        val id = tag(b, i)
+        val size = le32(b, i + 4)
+        if (id == "fmt " && size >= 16 && i + 24 <= b.length) {
+          channels = le16(b, i + 10)
+          byteRate = le32(b, i + 16)
+        } else if (id == "data") {
+          // truncated tail tolerated: duration reflects the bytes present
+          dataSize = math.max(0L, math.min(size, (b.length - i - 8).toLong))
+        }
+        if (size > b.length) i = b.length // lying chunk size: end the walk
+        else i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+      }
+      if (channels <= 0 || byteRate <= 0 || dataSize < 0) None
+      else Some(("wav", 0, 0, channels, dataSize * 1000 / byteRate))
+    }
+
+    /** MP4 / ISO-BMFF: box walk to moov → mvhd (timescale + duration) and
+      * the first trak → tkhd with nonzero 16.16-fixed width/height. Channel
+      * count would need the codec-level stsd parse, so it stays 0 here.
+      */
+    private def parseMp4(b: Array[Byte]): Option[(String, Int, Int, Int, Long)] = {
+      if (b.length < 16 || tag(b, 4) != "ftyp") return None
+      // children of [start, end): returns (boxType, payloadStart, payloadEnd)
+      def boxes(start: Long, end: Long): Iterator[(String, Long, Long)] =
+        new Iterator[(String, Long, Long)] {
+          private var i = start
+          def hasNext: Boolean = i + 8 <= end
+          def next(): (String, Long, Long) = {
+            val size0 = be32(b, i.toInt)
+            val t = tag(b, i.toInt + 4)
+            val (hdr, size) =
+              if (size0 == 1 && i + 16 <= end) (16L, be64(b, i.toInt + 8))
+              else if (size0 == 0) (8L, end - i) // box runs to end
+              else (8L, size0)
+            val safeEnd = if (size < hdr || i + size > end) end else i + size
+            val out = (t, i + hdr, safeEnd)
+            i = if (size < hdr) end else i + math.max(size, hdr) // malformed: stop
+            out
+          }
+        }
+      val fileEnd = b.length.toLong
+      boxes(0, fileEnd).find(_._1 == "moov").flatMap { case (_, ms, me) =>
+        var durationMs = 0L
+        var w = 0
+        var h = 0
+        boxes(ms, me).foreach {
+          case ("mvhd", ps, pe) if ps + 4 <= pe =>
+            val v = u8(b, ps.toInt)
+            if (v == 0 && ps + 20 <= pe) {
+              val timescale = be32(b, ps.toInt + 12)
+              if (timescale > 0) durationMs = be32(b, ps.toInt + 16) * 1000 / timescale
+            } else if (v == 1 && ps + 32 <= pe) {
+              val timescale = be32(b, ps.toInt + 20)
+              if (timescale > 0) durationMs = be64(b, ps.toInt + 24) * 1000 / timescale
+            }
+          case ("trak", ps, pe) if w == 0 =>
+            boxes(ps, pe).foreach {
+              case ("tkhd", ts, te) if ts + 4 <= te && w == 0 =>
+                // payload-relative layout (after the 8-byte box header):
+                // v0: ver/flags 4 + times/id/reserved/duration 20 + reserved 8
+                //     + layer/alt/volume/reserved 8 + matrix 36 → width @76,
+                //     height @80; v1's 64-bit times/duration add 12 → @88/@92.
+                // widths are 16.16 fixed point.
+                val v = u8(b, ts.toInt)
+                val (wo, ho) = if (v == 1) (88, 92) else (76, 80)
+                if (ts + ho + 4 <= te) {
+                  val pw = (be32(b, (ts + wo).toInt) >> 16).toInt
+                  val ph = (be32(b, (ts + ho).toInt) >> 16).toInt
+                  if (sane(pw, ph)) { w = pw; h = ph }
+                }
+              case _ => ()
+            }
+          case _ => ()
+        }
+        if (durationMs > 0 || w > 0) Some(("mp4", w, h, 0, durationMs)) else None
+      }
+    }
+
+    /** (container, width, height, channels, duration_ms) when the bytes
+      * carry a parseable PNG / GIF / BMP / JPEG / WAV / MP4 header
+      * (duration 0 for stills; width/height 0 for audio).
+      */
+    def parse(b: Array[Byte]): Option[(String, Int, Int, Int, Long)] = {
+      if (b == null) return None
+      parseWav(b).orElse(parseMp4(b)) match {
+        case some @ Some(_) => return some
+        case None => ()
+      }
+      parseImage(b).map { case (c, w, h, ch) => (c, w, h, ch, 0L) }
+    }
 
     /** (container, width, height, channels) when the bytes carry a parseable
       * PNG / GIF / BMP / JPEG header.
       */
-    def parse(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
-      if (b == null) return None
+    private def parseImage(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
       // PNG: 8-byte signature, then the IHDR chunk (len+"IHDR"+w+h+depth+color)
       if (b.length >= 26 && be32(b, 0) == 0x89504e47L && be32(b, 4) == 0x0d0a1a0aL &&
           b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
@@ -106,15 +212,16 @@ object Multimodal {
     }
   }
 
-  /** Codec entry: REAL header parse for PNG/GIF/BMP/JPEG bytes; every other
-    * payload falls back to the deterministic stub (pixel decode and all
-    * audio/video containers need codec libraries this container lacks —
-    * swap the fallback for a real codec at deployment, nothing else moves).
+  /** Codec entry: REAL header parse for PNG/GIF/BMP/JPEG images, WAV audio
+    * and MP4 video containers; every other payload falls back to the
+    * deterministic stub (pixel/sample decode needs codec libraries this
+    * container lacks — swap the fallback for a real codec at deployment,
+    * nothing else moves).
     */
   private def decodeStub(m: Media): Decoded = {
     HeaderCodec.parse(m.bytes) match {
-      case Some((container, w, h, ch)) =>
-        Decoded(m.media_id, m.kind, container, w, h, ch, 0L, ok = true)
+      case Some((container, w, h, ch, durMs)) =>
+        Decoded(m.media_id, m.kind, container, w, h, ch, durMs, ok = true)
       case None => decodeFallback(m)
     }
   }

@@ -6,8 +6,9 @@ import graft.operators.Multimodal
 import graft.operators.Multimodal.{HeaderCodec, Media}
 
 /** L12 multimodal plumbing: the container-header codec parses REAL
-  * PNG/GIF/BMP/JPEG dimensions from raw bytes (public format specs, no
-  * codec library), non-media payloads fall back to the deterministic stub,
+  * PNG/GIF/BMP/JPEG dimensions, WAV channels+duration and MP4 (ISO-BMFF)
+  * duration+track dims from raw bytes (public format specs, no codec
+  * library), non-media payloads fall back to the deterministic stub,
   * and the batched decode/features/frames operators keep their shapes.
   */
 class MultimodalSpec extends AnyFunSuite with SparkTestSession {
@@ -21,9 +22,9 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       0x00, 0x00, 0x02, 0x80, // width 640
       0x00, 0x00, 0x01, 0xe0, // height 480
       0x08, 0x06, 0x00, 0x00, 0x00) // depth 8, color type 6 (RGBA)
-    assert(HeaderCodec.parse(png).contains(("png", 640, 480, 4)))
+    assert(HeaderCodec.parse(png).contains(("png", 640, 480, 4, 0L)))
     val gray = png.clone(); gray(25) = 0x00 // color type 0 → 1 channel
-    assert(HeaderCodec.parse(gray).contains(("png", 640, 480, 1)))
+    assert(HeaderCodec.parse(gray).contains(("png", 640, 480, 1, 0L)))
   }
 
   test("GIF header: LE logical-screen dimensions") {
@@ -31,8 +32,8 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       0x40, 0x01, // width 320 LE
       0xc8, 0x00, // height 200 LE
       0x00, 0x00)
-    assert(HeaderCodec.parse(gif).contains(("gif", 320, 200, 3)))
-    assert(HeaderCodec.parse(gif.updated(4, '7'.toByte)).contains(("gif", 320, 200, 3)))
+    assert(HeaderCodec.parse(gif).contains(("gif", 320, 200, 3, 0L)))
+    assert(HeaderCodec.parse(gif.updated(4, '7'.toByte)).contains(("gif", 320, 200, 3, 0L)))
   }
 
   test("BMP header: BITMAPINFOHEADER dims, top-down negative height, bpp") {
@@ -43,7 +44,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       0xce, 0xff, 0xff, 0xff, // height -50 (top-down)
       0x01, 0x00, // planes
       0x18, 0x00) // 24 bpp
-    assert(HeaderCodec.parse(bmp).contains(("bmp", 100, 50, 3)))
+    assert(HeaderCodec.parse(bmp).contains(("bmp", 100, 50, 3, 0L)))
   }
 
   test("JPEG header: marker walk to SOF0 yields dims and components") {
@@ -55,7 +56,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       0x01, 0xe0, // height 480
       0x02, 0x80, // width 640
       0x03) // 3 components
-    assert(HeaderCodec.parse(jpg).contains(("jpeg", 640, 480, 3)))
+    assert(HeaderCodec.parse(jpg).contains(("jpeg", 640, 480, 3, 0L)))
     // SOS before any SOF → no metadata
     val noSof = bytes(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02)
     assert(HeaderCodec.parse(noSof).isEmpty)
@@ -69,7 +70,73 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       0x01, 0xe0, // height 480
       0x02, 0x80, // width 640
       0x03) // 3 components
-    assert(HeaderCodec.parse(padded).contains(("jpeg", 640, 480, 3)))
+    assert(HeaderCodec.parse(padded).contains(("jpeg", 640, 480, 3, 0L)))
+  }
+
+  private def le16b(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32b(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def be32b(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be64b(v: Long): Array[Byte] = be32b(v >>> 32) ++ be32b(v & 0xffffffffL)
+  private def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def wavFixture(channels: Int, byteRate: Int, dataSize: Int, present: Int): Array[Byte] = {
+    val fmt = le16b(1) ++ le16b(channels) ++ le32b(8000) ++ le32b(byteRate) ++
+      le16b(4) ++ le16b(16)
+    ascii("RIFF") ++ le32b(36 + dataSize) ++ ascii("WAVE") ++
+      ascii("fmt ") ++ le32b(16) ++ fmt ++
+      ascii("data") ++ le32b(dataSize) ++ new Array[Byte](present)
+  }
+
+  test("WAV header: channels + duration from fmt/data chunks; truncated data tolerated") {
+    // 2ch, byteRate 16000, 32000 data bytes → 2000 ms
+    assert(HeaderCodec.parse(wavFixture(2, 16000, 32000, 32000))
+      .contains(("wav", 0, 0, 2, 2000L)))
+    // truncated tail: only 8000 of the declared 32000 bytes present → 500 ms
+    assert(HeaderCodec.parse(wavFixture(2, 16000, 32000, 8000))
+      .contains(("wav", 0, 0, 2, 500L)))
+    // mono
+    assert(HeaderCodec.parse(wavFixture(1, 8000, 8000, 8000))
+      .contains(("wav", 0, 0, 1, 1000L)))
+    // RIFF but not WAVE → not a wav
+    val avi = ascii("RIFF") ++ le32b(4) ++ ascii("AVI ")
+    assert(HeaderCodec.parse(avi).isEmpty)
+  }
+
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32b(8L + payload.length) ++ ascii(typ) ++ payload
+
+  test("MP4 header: mvhd duration + first video tkhd 16.16 dims") {
+    // mvhd v0: ver/flags 4 + creation/modification 8 + timescale 4 + duration 4
+    // + rate/volume/reserved/matrix/predefines 76 = 96-byte payload
+    val mvhd0 = box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32b(0) ++ be32b(0) ++
+      be32b(1000) ++ be32b(5000) ++ new Array[Byte](76))
+    // tkhd v0: ver/flags 4 + times/id/reserved/duration 20 + reserved 8 +
+    // layer/alt/volume/reserved 8 + matrix 36 + width 4 + height 4 = 84
+    val tkhd0 = box("tkhd", Array[Byte](0, 0, 0, 0) ++ new Array[Byte](72) ++
+      be32b(640L << 16) ++ be32b(360L << 16))
+    val moov = box("moov", mvhd0 ++ box("trak", tkhd0))
+    val ftyp = box("ftyp", ascii("isom") ++ be32b(0))
+    assert(HeaderCodec.parse(ftyp ++ moov).contains(("mp4", 640, 360, 0, 5000L)))
+
+    // v1 mvhd (64-bit times/duration), v1 tkhd — and moov after a free box
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64b(0) ++ be64b(0) ++
+      be32b(90000) ++ be64b(90000L * 7) ++ new Array[Byte](76))
+    val tkhd1 = box("tkhd", Array[Byte](1, 0, 0, 0) ++ new Array[Byte](84) ++
+      be32b(1280L << 16) ++ be32b(720L << 16))
+    val mp4v1 = ftyp ++ box("free", new Array[Byte](12)) ++
+      box("moov", mvhd1 ++ box("trak", tkhd1))
+    assert(HeaderCodec.parse(mp4v1).contains(("mp4", 1280, 720, 0, 7000L)))
+
+    // audio-only mp4: no tkhd dims, duration still parsed
+    val moovAudio = box("moov", mvhd0)
+    assert(HeaderCodec.parse(ftyp ++ moovAudio).contains(("mp4", 0, 0, 0, 5000L)))
+
+    // malformed: ftyp but no moov → None; truncated moov size → no crash
+    assert(HeaderCodec.parse(ftyp).isEmpty)
+    val lyingSize = ftyp ++ be32b(1 << 20) ++ ascii("moov")
+    assert(HeaderCodec.parse(lyingSize).isEmpty)
   }
 
   test("non-media payloads fall back to the deterministic stub") {
