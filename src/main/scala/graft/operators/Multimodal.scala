@@ -283,14 +283,72 @@ object Multimodal {
     }
   }
 
-  /** Demo source: wrap any (id, string) table as opaque media bytes. */
+  /** Minimal-but-VALID container encoders — the write-side twins of
+    * [[HeaderCodec]] (encode ∘ parse = identity on the metadata, spec-tested).
+    * [[asMedia]] uses them so demo audio/video rows carry real parseable
+    * containers; they also serve as sink-side encoders for wrapping raw
+    * payloads into self-describing files.
+    */
+  object ContainerCodec {
+    private def le16b(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def le32b(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def be32b(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def ascii(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32b(8L + payload.length) ++ ascii(typ) ++ payload
+
+    /** Canonical 44-byte-header PCM WAV around `payload` as the data chunk. */
+    def wav(payload: Array[Byte], channels: Int, sampleRate: Int,
+        bytesPerSample: Int = 2): Array[Byte] = {
+      val block = channels * bytesPerSample
+      val byteRate = sampleRate * block
+      val fmt = le16b(1) ++ le16b(channels) ++ le32b(sampleRate) ++ le32b(byteRate) ++
+        le16b(block) ++ le16b(8 * bytesPerSample)
+      ascii("RIFF") ++ le32b(36L + payload.length) ++ ascii("WAVE") ++
+        ascii("fmt ") ++ le32b(16) ++ fmt ++
+        ascii("data") ++ le32b(payload.length) ++ payload
+    }
+
+    /** Minimal ISO-BMFF file: ftyp + moov(mvhd v0 [+ trak(tkhd v0)]) + mdat.
+      * `width == 0` emits no video trak (an audio-only mp4).
+      */
+    def mp4(durationMs: Long, width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
+      val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32b(0) ++ be32b(0) ++
+        be32b(1000) ++ be32b(durationMs) ++ new Array[Byte](76))
+      val trak =
+        if (width <= 0) Array.emptyByteArray
+        else box("trak", box("tkhd", Array[Byte](0, 0, 0, 0) ++ new Array[Byte](72) ++
+          be32b(width.toLong << 16) ++ be32b(height.toLong << 16)))
+      box("ftyp", ascii("isom") ++ be32b(0)) ++ box("moov", mvhd ++ trak) ++
+        box("mdat", payload)
+    }
+  }
+
+  /** Demo source: wrap any (id, string) table as media bytes. Audio and
+    * video rows are wrapped in REAL minimal containers (WAV / MP4 via
+    * [[ContainerCodec]], metadata deterministic from the id) so the decode
+    * pipeline exercises the real header parse; image rows stay raw text,
+    * exercising the documented fallback path.
+    */
   def asMedia(spark: SparkSession, df: DataFrame, idCol: String, payloadCol: String): Dataset[Media] = {
     import spark.implicits._
+    val wrap = udf((id: Long, kind: String, payload: Array[Byte]) => kind match {
+      case "audio" => ContainerCodec.wav(payload, channels = 1 + (id % 2).toInt,
+        sampleRate = 8000)
+      case "video" => ContainerCodec.mp4(durationMs = 1000L + (id % 60) * 250,
+        width = 320 + (id % 4).toInt * 160, height = 240 + (id % 4).toInt * 120,
+        payload = payload)
+      case _ => payload
+    })
     df.select(
         col(idCol).cast("long").as("media_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (pmod(col(idCol).cast("long"), lit(3)) + 1).cast("int")).as("kind"),
         encode(col(payloadCol), "UTF-8").as("bytes"))
+      .withColumn("bytes", wrap(col("media_id"), col("kind"), col("bytes")))
       .as[Media]
   }
 }

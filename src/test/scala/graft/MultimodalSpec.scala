@@ -169,6 +169,34 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(out.toSeq.map(_.toString) == again.toSeq.map(_.toString))
   }
 
+  test("ContainerCodec encode ∘ HeaderCodec parse = identity on metadata") {
+    import graft.operators.Multimodal.ContainerCodec
+    val payload = "pcm-ish payload bytes".getBytes("UTF-8")
+    // wav: duration = payload / (sampleRate * channels * bytesPerSample)
+    val w = ContainerCodec.wav(new Array[Byte](16000), channels = 2, sampleRate = 4000)
+    assert(HeaderCodec.parse(w).contains(("wav", 0, 0, 2, 1000L)))
+    val v = ContainerCodec.mp4(7500L, 640, 360, payload)
+    assert(HeaderCodec.parse(v).contains(("mp4", 640, 360, 0, 7500L)))
+    val a = ContainerCodec.mp4(3000L, 0, 0, payload)
+    assert(HeaderCodec.parse(a).contains(("mp4", 0, 0, 0, 3000L)))
+  }
+
+  test("asMedia emits real containers for audio/video; image stays fallback") {
+    import spark.implicits._
+    val df = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"), (5L, "five"))
+      .toDF("id", "payload")
+    val out = Multimodal.decode(
+      Multimodal.asMedia(spark, df, "id", "payload")).collect().sortBy(_.media_id)
+    val byId = out.map(o => o.media_id -> o).toMap
+    // kind by id % 3: 1→audio, 2→video, 3→image
+    assert(byId(1L).container == "wav" && byId(1L).channels == 2 && byId(1L).ok)
+    assert(byId(4L).container == "wav" && byId(4L).channels == 1)
+    assert(byId(2L).container == "mp4" && byId(2L).width == 640
+      && byId(2L).duration_ms == 1500L)
+    assert(byId(5L).container == "mp4" && byId(5L).duration_ms == 2250L)
+    assert(byId(3L).container == "unknown" && byId(3L).ok, "image keeps the fallback path")
+  }
+
   test("feature extraction and frame sampling keep their shapes") {
     import spark.implicits._
     val media = Seq(

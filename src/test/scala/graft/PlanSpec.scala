@@ -268,6 +268,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!chooseBroadcastHostState(Some(hostStateBroadcastMaxRows + 1)))
   }
 
+  test("commit-coalesce gate: unknown or big host_state keeps full write width") {
+    import graft.plans.CrawlRound.{chooseCoalescedCommit, smallCommitMaxRows}
+    // fail-safe direction is FULL WIDTH: an unknown-size table must keep its
+    // parallel write (coalescing a huge table to 8 tasks would bottleneck)
+    assert(!chooseCoalescedCommit(None))
+    assert(chooseCoalescedCommit(Some(0L)))
+    assert(chooseCoalescedCommit(Some(smallCommitMaxRows)))
+    assert(!chooseCoalescedCommit(Some(smallCommitMaxRows + 1)))
+  }
+
   test("IVF probe: partition-pruned scan, brute-force agreement within LSH recall") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
