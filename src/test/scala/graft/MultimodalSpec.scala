@@ -181,6 +181,28 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(HeaderCodec.parse(a).contains(("mp4", 0, 0, 0, 3000L)))
   }
 
+  test("property: ContainerCodec round-trips randomized params exactly") {
+    import graft.operators.Multimodal.ContainerCodec
+    val rnd = new scala.util.Random(424242L)
+    (0 until 50).foreach { trial =>
+      val ch = 1 + rnd.nextInt(8)
+      val rate = 1000 * (1 + rnd.nextInt(48))
+      val bps = 1 + rnd.nextInt(3)
+      val nBytes = rnd.nextInt(100000)
+      val w = ContainerCodec.wav(new Array[Byte](nBytes), ch, rate, bps)
+      val wantDur = nBytes.toLong * 1000 / (rate.toLong * ch * bps)
+      assert(HeaderCodec.parse(w).contains(("wav", 0, 0, ch, wantDur)), s"wav trial $trial")
+
+      val durMs = rnd.nextInt(1 << 20).toLong
+      val (vw, vh) =
+        if (rnd.nextBoolean()) (16 * (1 + rnd.nextInt(300)), 16 * (1 + rnd.nextInt(200)))
+        else (0, 0)
+      val m = ContainerCodec.mp4(durMs, vw, vh, new Array[Byte](rnd.nextInt(4096)))
+      val want = if (durMs == 0 && vw == 0) None else Some(("mp4", vw, vh, 0, durMs))
+      assert(HeaderCodec.parse(m) == want, s"mp4 trial $trial ($durMs, $vw, $vh)")
+    }
+  }
+
   test("asMedia emits real containers for audio/video; image stays fallback") {
     import spark.implicits._
     val df = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"), (5L, "five"))
