@@ -130,6 +130,18 @@ final case class CrawlConfig(
     // round. 0 keeps all history (full time travel — the test default);
     // >= 2 required when enabled so concurrent-commit resume stays safe.
     retentionVersions: Int = 0,
+    // frontier snapshot mode (round 4). true = MERGE-ON-READ delta commits:
+    // a round writes only its new frontier rows plus the admitted surts as
+    // tombstones (Iceberg equality-deletes analogue), so the per-round
+    // frontier write is O(K + new) instead of O(|frontier|) — at contract
+    // scale the frontier is the largest state table and rewriting it every
+    // round was the single biggest per-round IO term. Reads subtract the
+    // accumulated tombstones (exact: an admitted surt can never re-enter —
+    // frontier ⊆ seen and news are anti-joined against seen); compaction
+    // folds the chain into a full base on the same geometric policy as the
+    // seen table. false = rewrite the full frontier every round (the
+    // round-1..3 behavior, kept for the delta ≡ full equivalence test).
+    frontierDeltaCommits: Boolean = true,
     // small-table commit width: host_state (when its manifest proves it
     // small) and the per-round fetch-log delta (≤ roundBudget rows by
     // construction) coalesce to this many output files per snapshot,

@@ -75,6 +75,22 @@ object CrawlRound {
   def scoreKeyOf(score: Double): Long = math.rint(score * 1e9).toLong
 
   def frontierDir(stateDir: String) = s"$stateDir/frontier"
+
+  /** THE frontier read: merge-on-read under delta commits (base ∪ news −
+    * tombstones — see [[graft.sources.StateTable.readMerged]]'s exactness
+    * precondition, which the crawl guarantees by `frontier ⊆ seen`), and a
+    * plain snapshot read degenerately (a full-commit chain has no dels, so
+    * readMerged ≡ read). Every frontier consumer — the round, orderedFrontier,
+    * tests — goes through here so both commit modes read identically.
+    */
+  def readFrontier(
+      spark: SparkSession,
+      stateDir: String,
+      version: Option[Long] = None,
+      broadcastMaxDels: Long = 500000L): DataFrame =
+    StateTable.readMerged(spark, frontierDir(stateDir), version,
+      Some(graft.model.Schemas.frontier), keyCol = "surt",
+      broadcastMaxDels = broadcastMaxDels)
   def hostStateDir(stateDir: String) = s"$stateDir/host_state"
   def seenDir(stateDir: String) = s"$stateDir/url_seen"
   def fetchLogDir(stateDir: String) = s"$stateDir/fetch_log"
@@ -244,7 +260,8 @@ object CrawlRound {
     val version = round // version v is committed by round v; seeds commit v0
     val prevV = version - 1
 
-    val frontier = StateTable.read(spark, frontierDir(stateDir), Some(prevV), Some(graft.model.Schemas.frontier))
+    val frontier = readFrontier(spark, stateDir, Some(prevV),
+      broadcastMaxDels = cfg.exactAntiBroadcastMaxRows)
     // cached: host_state is read twice per round (rank-phase broadcast +
     // next-state commit) and its bucket-partitioned snapshot is many tiny
     // files — the second scan cost ~0.9s of single-task file opens on the
@@ -504,10 +521,36 @@ object CrawlRound {
       // repartition of the next frontier every round (the second of the two
       // full-frontier shuffles the round-2 verdict flagged); nothing prunes
       // the frontier by bucket — the round always reads all of it — so the
-      // layout bought nothing the engine uses
-      Future(tagged(s"commit:frontier r$round")(
-        StateTable.commit(nextFrontier, frontierDir(stateDir), version, round, counters,
-          partitioned = false))),
+      // layout bought nothing the engine uses.
+      // Round 4, MERGE-ON-READ delta commits: a non-compaction round writes
+      // only its NEW rows plus the admitted surts as tombstones — O(K + new)
+      // instead of rewriting the whole frontier (the largest remaining
+      // per-round O(state) write; at a 10^10-row frontier the rewrite is the
+      // dominant IO term). Reads subtract the tombstones (readFrontier);
+      // compaction rounds fold the chain into a full base (carried ∪ new) on
+      // the seen table's geometric policy, bounding read fan-in and enabling
+      // retention GC.
+      Future(tagged(s"commit:frontier r$round") {
+        if (StateTable.alreadyCommitted(frontierDir(stateDir), version).isEmpty) {
+          val compactF = !cfg.frontierDeltaCommits ||
+            StateTable.shouldCompact(frontierDir(stateDir), prevV, cfg.compactEvery)
+          if (compactF) {
+            val n = StateTable.writeSnap(nextFrontier, frontierDir(stateDir), version,
+              partitioned = false)
+            StateTable.finalizeCommit(frontierDir(stateDir), version, round, n, counters,
+              compacted = cfg.frontierDeltaCommits)
+          } else {
+            val n = StateTable.writeSnap(newEntries.select(frontierCols.map(col): _*),
+              frontierDir(stateDir), version, partitioned = false)
+            // tombstones ≤ roundBudget rows by construction → fixed width
+            val nd = StateTable.writeDels(
+              admittedKeys.coalesce(cfg.commitWriteParallelism),
+              frontierDir(stateDir), version)
+            StateTable.finalizeCommit(frontierDir(stateDir), version, round, n,
+              counters + (StateTable.DelsCounter -> nd))
+          }
+        }
+      }),
       // host_state is FLAT too (round 3): it is always read whole, and the
       // partitionBy layout cost ~1s/round in a profiled SINGLE-task stage —
       // AQE coalesces the tiny repartition to one partition, whose one task
@@ -534,7 +577,9 @@ object CrawlRound {
     // crawl age. Disabled (0) keeps full time-travel history. ----
     if (cfg.retentionVersions > 0) {
       val keep = math.max(cfg.retentionVersions, 2)
-      StateTable.expire(frontierDir(stateDir), keep, append = false)
+      // delta-committed frontier reads need its chain back to the compacted
+      // base — expire like an append table; full-commit mode reads standalone
+      StateTable.expire(frontierDir(stateDir), keep, append = cfg.frontierDeltaCommits)
       StateTable.expire(hostStateDir(stateDir), keep, append = false)
       val deadSeen = StateTable.expire(seenDir(stateDir), keep, append = true)
       StateTable.expire(fetchLogDir(stateDir), keep, append = true)

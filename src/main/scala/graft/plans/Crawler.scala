@@ -190,6 +190,6 @@ object Crawler {
     * (`surt` is unique ⇒ no ties ⇒ identical output at any parallelism).
     */
   def orderedFrontier(spark: SparkSession, stateDir: String, version: Option[Long] = None): DataFrame =
-    StateTable.read(spark, CrawlRound.frontierDir(stateDir), version, Some(Schemas.frontier))
+    CrawlRound.readFrontier(spark, stateDir, version)
       .orderBy(col("depth").asc, CrawlRound.scoreKey(col("score")).desc, col("surt").asc)
 }

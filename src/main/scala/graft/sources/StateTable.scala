@@ -153,6 +153,86 @@ object StateTable {
     readPaths(spark, vs.map(snapPath(dir, _)), schema)
   }
 
+  def delPath(dir: String, v: Long): String = s"$dir/dels-$v"
+
+  /** Reserved manifest-counter key recording a version's tombstone count. */
+  val DelsCounter = "dels"
+
+  /** Stage-1b of a MERGE-ON-READ delta commit: write version `v`'s tombstone
+    * keys (between [[writeSnap]] and [[finalizeCommit]], like bloom sidecars,
+    * so a committed version always has its dels present). Returns the row
+    * count, which the caller must record as the [[DelsCounter]] counter —
+    * readers size the anti-join arm from manifests alone.
+    */
+  def writeDels(delKeys: DataFrame, dir: String, version: Long): Long = {
+    val path = delPath(dir, version)
+    delKeys.write.mode("overwrite").parquet(path)
+    footerRowCount(path)
+  }
+
+  /** The versions a merge-on-read at `v` unions: the NEWEST full snapshot ≤
+    * v (any version committed without the [[DelsCounter]] — a seed commit, a
+    * full-rewrite commit, or a compaction) plus the delta versions after it.
+    * Full snapshots each hold the complete table, so the chain must start at
+    * the latest one — unioning two full snapshots would double-count
+    * (distinct from [[chainAt]], whose append tables are all-delta).
+    */
+  private[graft] def mergedChain(dir: String, v: Long): Seq[Long] = {
+    val chain = chainAt(dir, v)
+    val baseIdx = chain.lastIndexWhere(cv =>
+      manifest(dir, cv).exists(m => !m.counters.contains(DelsCounter)))
+    if (baseIdx >= 0) chain.drop(baseIdx) else chain
+  }
+
+  /** Tombstones accumulated over the merged chain at `v`, manifests only. */
+  def totalDels(dir: String, version: Long): Long =
+    mergedChain(dir, version).flatMap(manifest(dir, _))
+      .map(_.counters.getOrElse(DelsCounter, 0L)).sum
+
+  /** Read a MERGE-ON-READ table at `version`: (base ∪ news) minus the
+    * accumulated tombstone keys — Iceberg equality-deletes analogue. Each
+    * round commits only its new rows plus the keys it removed
+    * ([[writeDels]]), so the per-round write is O(delta), not O(table);
+    * [[shouldCompact]]-driven compaction folds the chain into a full base.
+    *
+    * EXACTNESS PRECONDITION (caller-owned invariant): a deleted key must
+    * never reappear in a LATER delta's news — then subtracting the union of
+    * all dels from the union of all news is order-free. The frontier holds
+    * this by construction: every frontier row is in the seen set, admission
+    * deletes only frontier rows, and new entries are exact-anti-joined
+    * against seen — an admitted (deleted) surt can never be re-discovered.
+    *
+    * The anti-join broadcasts the tombstones while the manifests bound them
+    * under `broadcastMaxDels` (narrow ≤K·chain keys); above the gate it
+    * falls back to a distributed anti-join — the same fail-safe trade as D3.
+    */
+  def readMerged(
+      spark: SparkSession,
+      dir: String,
+      version: Option[Long] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      keyCol: String = "surt",
+      broadcastMaxDels: Long = 500000L): DataFrame = {
+    val v = version.orElse(currentVersion(dir))
+      .getOrElse(throw new IllegalStateException(s"no committed snapshot in $dir"))
+    val vs = mergedChain(dir, v)
+    require(vs.nonEmpty, s"no committed snapshot ≤ $v in $dir")
+    val news = readPaths(spark, vs.map(snapPath(dir, _)), schema)
+    val delPaths = vs.map(delPath(dir, _)).filter(hasDataFiles)
+    if (delPaths.isEmpty) news
+    else {
+      // no distinct: an anti-join build side tolerates duplicate keys, and
+      // the extra shuffle would cost more than the dupes (there are none —
+      // a key is deleted at most once under the exactness precondition)
+      val dels = spark.read.parquet(delPaths: _*).select(keyCol)
+      val build =
+        if (totalDels(dir, v) <= broadcastMaxDels)
+          org.apache.spark.sql.functions.broadcast(dels)
+        else dels
+      news.join(build, Seq(keyCol), "left_anti")
+    }
+  }
+
   /** The snapshot versions a read at `v` must union: the newest compacted
     * base ≤ v (if any) plus every delta after it.
     */
@@ -318,6 +398,7 @@ object StateTable {
         val dead = versions(dir).filter(_ < cutoff)
         dead.foreach { v =>
           rmTree(Paths.get(snapPath(dir, v)))
+          rmTree(Paths.get(delPath(dir, v))) // merge-on-read tombstones ride along
           Files.deleteIfExists(logDir(dir).resolve(s"$v.json"))
         }
         dead

@@ -22,6 +22,36 @@ class CrawlSpec extends AnyFunSuite with SparkTestSession {
     (dir, cs)
   }
 
+  test("frontier delta commits ≡ full rewrites at every version (incl. a compaction)") {
+    // same crawl, both frontier commit modes; compactEvery=4 so the delta
+    // chain crosses a live frontier compaction inside the run
+    val cfgDelta = cfg.copy(frontierDeltaCommits = true, compactEvery = 4)
+    val cfgFull = cfg.copy(frontierDeltaCommits = false, compactEvery = 4)
+    val dDelta = tmpDir("crawl-fdelta")
+    val dFull = tmpDir("crawl-ffull")
+    val c1 = Crawler.crawl(spark, dDelta, pages, robots, seeds, cfgDelta, 6)
+    val c2 = Crawler.crawl(spark, dFull, pages, robots, seeds, cfgFull, 6)
+    assert(c1 == c2, "per-round counters diverge between frontier commit modes")
+    (0 to 6).foreach { v =>
+      val a = Crawler.orderedFrontier(spark, dDelta, Some(v.toLong)).collect().map(_.toSeq).toSeq
+      val b = Crawler.orderedFrontier(spark, dFull, Some(v.toLong)).collect().map(_.toSeq).toSeq
+      assert(a == b, s"frontier@$v diverges between delta and full commit modes")
+      assert(a.nonEmpty, s"frontier@$v empty — vacuous comparison")
+    }
+    // the delta mode actually wrote deltas (tombstone dirs exist) and
+    // compacted at least once mid-run
+    val fd = CrawlRound.frontierDir(dDelta)
+    assert(StateTable.versions(fd).exists(v =>
+      StateTable.manifest(fd, v).exists(_.counters.contains(StateTable.DelsCounter))),
+      "no delta commit happened — mode not exercised")
+    assert(StateTable.versions(fd).exists(v =>
+      v > 0 && StateTable.manifest(fd, v).exists(m => m.compactedThrough == v)),
+      "no frontier compaction happened — chain never folded")
+    // resume across the delta chain: two more rounds on the same dir
+    val more = Crawler.crawl(spark, dDelta, pages, robots, seeds, cfgDelta, 8)
+    assert(more.length == 2, "resume re-ran already-committed rounds")
+  }
+
   test("ten-round crawl expands the frontier and dedups") {
     val (dir, counters) = runCrawl(10)
     assert(counters.length == 10)
@@ -33,7 +63,7 @@ class CrawlSpec extends AnyFunSuite with SparkTestSession {
     assert(frontier.nonEmpty)
     // frontier never contains a previously admitted URL: disjoint from fetch_log
     val fetched = StateTable.readAppended(spark, CrawlRound.fetchLogDir(dir))
-    val overlap = StateTable.read(spark, CrawlRound.frontierDir(dir))
+    val overlap = CrawlRound.readFrontier(spark, dir)
       .join(fetched, Seq("surt"), "inner").count()
     assert(overlap == 0, "fetched URLs must leave the frontier")
   }
@@ -43,7 +73,7 @@ class CrawlSpec extends AnyFunSuite with SparkTestSession {
     val seen = StateTable.readAppended(spark, CrawlRound.seenDir(dir))
     assert(seen.count() == seen.select("surt").distinct().count(), "no duplicate seen entries")
     // every frontier entry is seen
-    val f = StateTable.read(spark, CrawlRound.frontierDir(dir))
+    val f = CrawlRound.readFrontier(spark, dir)
     assert(f.join(seen, Seq("surt"), "left_anti").count() == 0)
   }
 
@@ -136,9 +166,12 @@ class CrawlSpec extends AnyFunSuite with SparkTestSession {
     val seenA = StateTable.readAppended(spark, CrawlRound.seenDir(dGc)).select("surt")
     val seenB = StateTable.readAppended(spark, CrawlRound.seenDir(dRef)).select("surt")
     assert(seenA.except(seenB).count() == 0 && seenB.except(seenA).count() == 0)
-    // history is actually bounded: full-snapshot tables keep only the window
+    // history is actually bounded: the delta-committed frontier keeps its
+    // newest compacted base + the retention window (append-style), strictly
+    // less than the full 9-version history
     val fv = StateTable.versions(CrawlRound.frontierDir(dGc))
-    assert(fv.min >= 8 - 3 + 1, s"frontier versions not expired: $fv")
+    assert(fv.size < 9, s"frontier versions not expired: $fv")
+    assert(fv.min > 0, s"frontier seed version survived GC: $fv")
     // the seen chain kept = base + window, strictly less than all 9 versions
     val sv = StateTable.versions(CrawlRound.seenDir(dGc))
     assert(sv.size < 9, s"seen versions not expired: $sv")

@@ -30,6 +30,42 @@ class StateTableSpec extends AnyFunSuite with SparkTestSession {
     assert(StateTable.versions(dir) == Seq(0L, 1L))
   }
 
+  test("merge-on-read: news − tombstones, time travel, compaction, both arms") {
+    val dir = tmpDir("st-mor")
+    def commitDelta(v: Long, news: Seq[String], dels: Seq[String]): Unit = {
+      val n = StateTable.writeSnap(news.map(s => (s, s.length)).toDF("surt", "x"),
+        dir, v, partitioned = false)
+      val nd = StateTable.writeDels(dels.toDF("surt"), dir, v)
+      StateTable.finalizeCommit(dir, v, v, n, Map(StateTable.DelsCounter -> nd))
+    }
+    // v0 full base {a,b,c}; v1 +{d,e} −{a}; v2 +{f} −{b,d}
+    StateTable.commit(Seq("a", "b", "c").map(s => (s, s.length)).toDF("surt", "x"),
+      dir, 0L, 0L, partitioned = false)
+    commitDelta(1L, Seq("d", "e"), Seq("a"))
+    commitDelta(2L, Seq("f"), Seq("b", "d"))
+    def at(v: Long, gate: Long = 500000L): Seq[String] =
+      StateTable.readMerged(spark, dir, Some(v), broadcastMaxDels = gate)
+        .select("surt").as[String].collect().sorted.toSeq
+    assert(at(0L) == Seq("a", "b", "c"))
+    assert(at(1L) == Seq("b", "c", "d", "e"))
+    assert(at(2L) == Seq("c", "e", "f"))
+    // gate 0 forces the distributed anti-join arm: identical membership
+    assert(at(2L, gate = 0L) == Seq("c", "e", "f"))
+    assert(StateTable.totalDels(dir, 2L) == 3L)
+    // v3 compacts the live set into a full base; v4 deltas on top of it
+    val live3 = Seq("c", "e", "f", "g")
+    val n3 = StateTable.writeSnap(live3.map(s => (s, s.length)).toDF("surt", "x"),
+      dir, 3L, partitioned = false)
+    StateTable.finalizeCommit(dir, 3L, 3L, n3, compacted = true)
+    commitDelta(4L, Seq("h"), Seq("c"))
+    assert(at(3L) == Seq("c", "e", "f", "g"))
+    assert(at(4L) == Seq("e", "f", "g", "h"))
+    // pre-base tombstones must NOT re-apply to the compacted base
+    assert(StateTable.totalDels(dir, 4L) == 1L, "chain dels must start at the base")
+    // time travel below the base still merges the old chain
+    assert(at(2L) == Seq("c", "e", "f"))
+  }
+
   test("append-mode read unions deltas") {
     val dir = tmpDir("st")
     StateTable.commitAppend(Seq(1).toDF("k"), dir, 0L, 0L)

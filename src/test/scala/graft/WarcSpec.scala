@@ -148,8 +148,8 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     assert(c1.map(r => (r.admitted, r.fetched200, r.newUrls)) ==
       c2.map(r => (r.admitted, r.fetched200, r.newUrls)), "per-round counters diverge")
 
-    val f1 = StateTable.read(spark, CrawlRound.frontierDir(d1)).select("surt", "depth", "score")
-    val f2 = StateTable.read(spark, CrawlRound.frontierDir(d2)).select("surt", "depth", "score")
+    val f1 = CrawlRound.readFrontier(spark, d1).select("surt", "depth", "score")
+    val f2 = CrawlRound.readFrontier(spark, d2).select("surt", "depth", "score")
     assert(f1.except(f2).count() == 0 && f2.except(f1).count() == 0,
       "frontiers diverge between original and WARC-ingested pages")
     assert(f1.count() > 0, "trivially-empty comparison")
