@@ -532,8 +532,18 @@ object CrawlRound {
       // retention GC.
       Future(tagged(s"commit:frontier r$round") {
         if (StateTable.alreadyCommitted(frontierDir(stateDir), version).isEmpty) {
+          // compact when EITHER the geometric policy fires OR the accumulated
+          // tombstones would exceed the broadcast budget (Iceberg's
+          // delete-file-ratio compaction trigger, with the broadcast gate as
+          // the ratio): every merged read's tombstone side then stays
+          // broadcast-small, so the frontier scan never shuffles or sorts —
+          // profiled at local[32], letting the chain cross the gate flipped
+          // reads to a distributed SMJ anti-join whose per-round sort cost
+          // exceeded the write savings at wide parallelism
           val compactF = !cfg.frontierDeltaCommits ||
-            StateTable.shouldCompact(frontierDir(stateDir), prevV, cfg.compactEvery)
+            StateTable.shouldCompact(frontierDir(stateDir), prevV, cfg.compactEvery) ||
+            StateTable.totalDels(frontierDir(stateDir), prevV) + nAdmitted >
+              cfg.exactAntiBroadcastMaxRows
           if (compactF) {
             val n = StateTable.writeSnap(nextFrontier, frontierDir(stateDir), version,
               partitioned = false)

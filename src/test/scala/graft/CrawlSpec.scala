@@ -23,10 +23,14 @@ class CrawlSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("frontier delta commits ≡ full rewrites at every version (incl. a compaction)") {
-    // same crawl, both frontier commit modes; compactEvery=4 so the delta
-    // chain crosses a live frontier compaction inside the run
-    val cfgDelta = cfg.copy(frontierDeltaCommits = true, compactEvery = 4)
-    val cfgFull = cfg.copy(frontierDeltaCommits = false, compactEvery = 4)
+    // same crawl, both frontier commit modes; compactEvery=4 AND a tiny
+    // dels broadcast budget (60) so BOTH frontier compaction triggers — the
+    // geometric policy and the tombstone-budget cap — fire inside the run,
+    // interleaved with genuine delta commits
+    val cfgDelta = cfg.copy(frontierDeltaCommits = true, compactEvery = 4,
+      exactAntiBroadcastMaxRows = 60L)
+    val cfgFull = cfg.copy(frontierDeltaCommits = false, compactEvery = 4,
+      exactAntiBroadcastMaxRows = 60L)
     val dDelta = tmpDir("crawl-fdelta")
     val dFull = tmpDir("crawl-ffull")
     val c1 = Crawler.crawl(spark, dDelta, pages, robots, seeds, cfgDelta, 6)
@@ -47,6 +51,13 @@ class CrawlSpec extends AnyFunSuite with SparkTestSession {
     assert(StateTable.versions(fd).exists(v =>
       v > 0 && StateTable.manifest(fd, v).exists(m => m.compactedThrough == v)),
       "no frontier compaction happened — chain never folded")
+    // the tombstone-budget trigger holds: accumulated dels at every version
+    // stay within the broadcast gate, so merged reads never need the
+    // distributed anti-join arm
+    StateTable.versions(fd).foreach { v =>
+      assert(StateTable.totalDels(fd, v) <= 60L,
+        s"dels chain at v=$v exceeds the broadcast budget")
+    }
     // resume across the delta chain: two more rounds on the same dir
     val more = Crawler.crawl(spark, dDelta, pages, robots, seeds, cfgDelta, 8)
     assert(more.length == 2, "resume re-ran already-committed rounds")
