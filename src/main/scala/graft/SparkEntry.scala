@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.UrlFunctions
-import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Graph, Multimodal, Similarity, TextAnalysis, TextDedup}
 import graft.sources.SyntheticWeb
 
 /** Driver contract (SURVEY.md §0.5): one `queries` entry per implemented
@@ -581,6 +581,44 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // ---- dedup clustering: the step AFTER pair generation. The verified
+    // near-dup pairs (the exact pipeline q_dedup_minhash_verify oracles end
+    // to end) feed distributed hash-min connected components; the output is
+    // the keep/drop decision per document — one representative (min id) per
+    // cluster. DuckDB-oracled end to end via a recursive-CTE reachability
+    // fixpoint over the same all-pairs ≥ 0.5 edge set. ----
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val cand = TextDedup.minhashCandidates(docs, "doc_id", "text",
+        k = 3, m = 64, bands = 32)
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= lit(""))
+      val sh = docs.select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), array_distinct(transform(
+          sequence(lit(0), greatest(size(col("toks")) - 3, lit(0))),
+          i => array_join(slice(col("toks"), i + lit(1), lit(3)), " "))).as("sh"))
+      val pairs = cand
+        .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+        .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            greatest(size(array_union(col("sha"), col("shb"))), lit(1)))
+        .where(col("jaccard") >= 0.5)
+        .select("a", "b")
+      Graph.dedupClusters(pairs).orderBy("doc_id")
+    }),
+
+    // ---- batch PageRank (the offline companion of A3's online OPIC), 3
+    // power iterations in order-exact integer micro-units over the
+    // order→part bipartite graph (parts offset so the id spaces are
+    // disjoint). DuckDB-oracled term for term. ----
+    "q_pagerank" -> ((s, dir) => {
+      val edges = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_orderkey").as("src"),
+          (col("l_partkey") + lit(1000000000L)).as("dst"))
+      Graph.pagerankMicro(edges, iters = 3, damping = 0.85)
+        .orderBy("id")
+    }),
+
     // ---- multimodal plumbing (codec stubbed, plumbing real) ----
     "q_multimodal_decode" -> ((s, dir) => {
       import s.implicits._
@@ -846,6 +884,76 @@ object SparkEntry {
       WHERE round(cast(len(list_intersect(a.s, b.s)) AS DOUBLE) /
                   greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) >= 0.5
       ORDER BY a, b"""),
+
+    // pairs (same edge set q_dedup_minhash_verify pins) → connected
+    // components as a recursive-CTE reachability fixpoint: comp(id) = min id
+    // reachable over the symmetrized edge relation — exactly the hash-min
+    // fixpoint the engine's distributed label propagation converges to
+    "q_dedup_clusters" -> ("""
+      WITH RECURSIVE t AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct([array_to_string(toks[i+1:i+3], ' ')
+                                      for i in range(0, greatest(len(toks)-3, 0) + 1)]) AS s
+        FROM t),
+      pairs AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE cast(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.5),
+      und AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+      reach(id, r) AS (
+        SELECT u, u FROM und
+        UNION
+        SELECT reach.id, und.v FROM reach JOIN und ON und.u = reach.r),
+      cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      sz AS (SELECT cluster_id, cast(count(*) AS BIGINT) AS cluster_size
+             FROM cc GROUP BY cluster_id)
+      SELECT cc.id AS doc_id, cc.cluster_id, sz.cluster_size,
+             cc.id = cc.cluster_id AS keep
+      FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id"""),
+
+    // 3 PageRank power iterations in integer micro-units, mirroring
+    // Graph.pagerankMicro term for term: identical IEEE double expressions
+    // ((1-0.85)*1e9/n; 0.85*pr/od), half-up rounding to BIGINT per edge
+    // contribution, order-exact long sums
+    "q_pagerank" -> ("""
+      WITH edges AS (
+        SELECT DISTINCT l_orderkey AS s, l_partkey + 1000000000 AS d FROM lineitem),
+      nodes AS (SELECT s AS id FROM edges UNION SELECT d FROM edges),
+      c AS (SELECT cast(count(*) AS DOUBLE) AS n FROM nodes),
+      deg AS (SELECT s, count(*) AS od FROM edges GROUP BY s),
+      p0 AS (SELECT id, cast(round(1000000000.0 / c.n, 0) AS BIGINT) AS pr
+             FROM nodes, c),
+      i1 AS (
+        SELECT n.id,
+               cast(round((1-0.85) * 1000000000 / c.n, 0) AS BIGINT) +
+               cast(coalesce(sum(cast(round(0.85 * p.pr / deg.od, 0) AS BIGINT)), 0) AS BIGINT) AS pr
+        FROM nodes n CROSS JOIN c
+        LEFT JOIN edges e ON e.d = n.id
+        LEFT JOIN deg ON deg.s = e.s
+        LEFT JOIN p0 p ON p.id = e.s
+        GROUP BY n.id, c.n),
+      i2 AS (
+        SELECT n.id,
+               cast(round((1-0.85) * 1000000000 / c.n, 0) AS BIGINT) +
+               cast(coalesce(sum(cast(round(0.85 * p.pr / deg.od, 0) AS BIGINT)), 0) AS BIGINT) AS pr
+        FROM nodes n CROSS JOIN c
+        LEFT JOIN edges e ON e.d = n.id
+        LEFT JOIN deg ON deg.s = e.s
+        LEFT JOIN i1 p ON p.id = e.s
+        GROUP BY n.id, c.n),
+      i3 AS (
+        SELECT n.id,
+               cast(round((1-0.85) * 1000000000 / c.n, 0) AS BIGINT) +
+               cast(coalesce(sum(cast(round(0.85 * p.pr / deg.od, 0) AS BIGINT)), 0) AS BIGINT) AS pr
+        FROM nodes n CROSS JOIN c
+        LEFT JOIN edges e ON e.d = n.id
+        LEFT JOIN deg ON deg.s = e.s
+        LEFT JOIN i2 p ON p.id = e.s
+        GROUP BY n.id, c.n)
+      SELECT id, pr AS pr_micro FROM i3 ORDER BY id"""),
 
     "q_text_quality" -> ("""
       SELECT doc_id,

@@ -41,13 +41,15 @@ import graft.sources.StateTable
   * positives); AQE handles small rounds and is the skew backstop behind
   * explicit hot-host salting.
   *
-  * Driver-action diet (M1): a round runs exactly TWO serial driver actions —
-  * the admission count (which also materializes the ranked frontier cache)
-  * and one union-of-aggregates stats job (which materializes the fetch →
-  * candidates → dedup chain and yields the candidate/new counters in a single
-  * pass) — before the four snapshot commits run concurrently over the cached
-  * data. Fetch counters (admitted rows, 200s) ride the fetch-log write itself
-  * via `Dataset.observe`, costing no extra job.
+  * Driver-action diet (M1): a round runs exactly ONE serial driver action —
+  * the admission count (which also materializes the ranked frontier cache) —
+  * before the four snapshot DATA writes run concurrently; those writes are
+  * what materializes the shared fetch → candidates → dedup caches, the
+  * candidate/new counters are then read back as cache-hit counts, and the
+  * four manifests publish last (round 4: the former union-of-aggregates
+  * stats barrier was the largest width-insensitive fixed cost in the
+  * committed profile). Fetch counters (admitted rows, 200s) ride the
+  * fetch-log write itself via `Dataset.observe`, costing no extra job.
   */
 object CrawlRound {
 
@@ -425,19 +427,6 @@ object CrawlRound {
     val nextFrontier = carried.select(frontierCols.map(col): _*)
       .unionByName(newEntries.select(frontierCols.map(col): _*))
 
-    // ---- counters (M1): ONE union-of-aggregates job materializes the whole
-    // fetch → candidates → dedup chain and returns both counts in one pass ----
-    val statRows = cands.agg(lit("cands").as("k"), count(lit(1)).as("n"))
-      .unionAll(newEntries.agg(lit("new").as("k"), count(lit(1)).as("n")))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val nCands = statRows("cands")
-    val nNew = statRows("new")
-    mark("stats")
-    val counters = Map(
-      "admitted" -> nAdmitted,
-      "candidates" -> nCands, "new_urls" -> nNew,
-      "dedup_dropped" -> (nCands - nNew))
-
     // hosts with admissions: consume tokens, stamp last_round (lazy refill)
     val touched = admitted.groupBy(col("host")).agg(
       count(lit(1)).as("n_admitted"),
@@ -457,13 +446,20 @@ object CrawlRound {
     val newSeen = newEntries.select(
       col("surt"), col("url_hash"), col("host_bucket"), lit(round).as("first_round"))
 
-    // ---- S4 snapshot commits. The four tables commit CONCURRENTLY (every
-    // input is already cached, so no shared recompute); crash-consistency
-    // needs no ordering because Resume takes the MIN committed version across
-    // all four tables and reads every table at that explicit version (time
-    // travel). The seen table's bloom sidecars are written BETWEEN its data
-    // write and its manifest/CURRENT publish, so a committed seen version
-    // always has complete sidecars. ----
+    // ---- S4 snapshot commits, two-phase (round 4, stats fold): the four
+    // DATA WRITES run concurrently first — they are also what materializes
+    // the shared fetch → candidates → dedup caches (BlockManager's
+    // per-block locks serialize any racing partition compute, so shared
+    // ancestors are computed once) — then the round's counters are read as
+    // CACHE-HIT counts over the data the writes just produced, and the four
+    // manifests publish serially at the end. This removes the separate
+    // stats barrier action entirely (round-4 profile: stats was the largest
+    // width-insensitive fixed-cost term, ~4 s of a ~10 s round). Crash
+    // consistency is unchanged: a table is committed only once its manifest
+    // + CURRENT publish, and Resume takes the MIN committed version across
+    // all four tables; publishing later only narrows the commit window. The
+    // seen table's bloom sidecars are still written BEFORE its manifest, so
+    // a committed seen version always has complete sidecars. ----
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -473,33 +469,33 @@ object CrawlRound {
       spark.sparkContext.setCallSite(name)
       try body finally spark.sparkContext.clearCallSite()
     }
-    val fetchLogCommit: Future[Long] = Future {
+    // each write future returns None on idempotent replay (version already
+    // fully committed), Some(payload) after writing data this run
+    val fetchLogWrite: Future[Option[(Long, Long, Boolean)]] = Future {
       tagged(s"commit:fetch_log r$round") {
-      StateTable.alreadyCommitted(fetchLogDir(stateDir), version) match {
-        case Some(m) => m.counters.getOrElse("fetched200", 0L) // idempotent replay
-        case None =>
-          // fetch-log compaction exists to ENABLE retention GC (nothing reads
-          // the log chain on the hot path), so it only runs under retention
-          val compactLog = cfg.retentionVersions > 0 &&
-            StateTable.shouldCompact(fetchLogDir(stateDir), prevV, cfg.compactEvery)
-          // the per-round delta is ≤ roundBudget rows by construction: write
-          // it at the fixed small-table width, not one near-empty file per
-          // core (see CrawlConfig.commitWriteParallelism). Compacted chains
-          // can be arbitrarily large — they keep full write parallelism.
-          val logData =
-            if (!compactLog) fetchLog.coalesce(cfg.commitWriteParallelism)
-            else StateTable.readAppended(spark, fetchLogDir(stateDir), Some(prevV),
-              Some(graft.model.Schemas.fetchLog)).unionByName(fetchLog)
-          val n = StateTable.writeSnap(logData, fetchLogDir(stateDir), version, partitioned = false)
-          val n200 = fetchObs.get("n200").asInstanceOf[Long]
-          StateTable.finalizeCommit(fetchLogDir(stateDir), version, round, n,
-            counters + ("fetched200" -> n200), compacted = compactLog)
-          n200
+      if (StateTable.alreadyCommitted(fetchLogDir(stateDir), version).isDefined) None
+      else {
+        // fetch-log compaction exists to ENABLE retention GC (nothing reads
+        // the log chain on the hot path), so it only runs under retention
+        val compactLog = cfg.retentionVersions > 0 &&
+          StateTable.shouldCompact(fetchLogDir(stateDir), prevV, cfg.compactEvery)
+        // the per-round delta is ≤ roundBudget rows by construction: write
+        // it at the fixed small-table width, not one near-empty file per
+        // core (see CrawlConfig.commitWriteParallelism). Compacted chains
+        // can be arbitrarily large — they keep full write parallelism.
+        val logData =
+          if (!compactLog) fetchLog.coalesce(cfg.commitWriteParallelism)
+          else StateTable.readAppended(spark, fetchLogDir(stateDir), Some(prevV),
+            Some(graft.model.Schemas.fetchLog)).unionByName(fetchLog)
+        val n = StateTable.writeSnap(logData, fetchLogDir(stateDir), version, partitioned = false)
+        val n200 = fetchObs.get("n200").asInstanceOf[Long]
+        Some((n, n200, compactLog))
       }
     } }
-    val seenCommit: Future[Unit] = Future {
+    val seenWrite: Future[Option[(Long, Boolean)]] = Future {
       tagged(s"commit:seen r$round") {
-      if (StateTable.alreadyCommitted(seenDir(stateDir), version).isEmpty) {
+      if (StateTable.alreadyCommitted(seenDir(stateDir), version).isDefined) None
+      else {
         // amortized compaction (round-2 verdict "missing" #1): fold the delta
         // chain into one snapshot so the every-round readAppended plans O(few)
         // directories however long the crawl runs; the bloom rebuild rides it
@@ -512,73 +508,113 @@ object CrawlRound {
           newSeen, seen.unionByName(newSeen),
           expectedPerBucket = totalSeen * 2 / cfg.buckets + 1024L, cfg,
           forceFull = compact)
-        StateTable.finalizeCommit(seenDir(stateDir), version, round, n, counters,
-          compacted = compact)
+        Some((n, compact))
       }
     } }
-    val otherCommits = Seq(
-      // FLAT frontier snapshot: partitionBy(host_bucket) forced a full
-      // repartition of the next frontier every round (the second of the two
-      // full-frontier shuffles the round-2 verdict flagged); nothing prunes
-      // the frontier by bucket — the round always reads all of it — so the
-      // layout bought nothing the engine uses.
-      // Round 4, MERGE-ON-READ delta commits: a non-compaction round writes
-      // only its NEW rows plus the admitted surts as tombstones — O(K + new)
-      // instead of rewriting the whole frontier (the largest remaining
-      // per-round O(state) write; at a 10^10-row frontier the rewrite is the
-      // dominant IO term). Reads subtract the tombstones (readFrontier);
-      // compaction rounds fold the chain into a full base (carried ∪ new) on
-      // the seen table's geometric policy, bounding read fan-in and enabling
-      // retention GC.
-      Future(tagged(s"commit:frontier r$round") {
-        if (StateTable.alreadyCommitted(frontierDir(stateDir), version).isEmpty) {
-          // compact when EITHER the geometric policy fires OR the accumulated
-          // tombstones would exceed the broadcast budget (Iceberg's
-          // delete-file-ratio compaction trigger, with the broadcast gate as
-          // the ratio): every merged read's tombstone side then stays
-          // broadcast-small, so the frontier scan never shuffles or sorts —
-          // profiled at local[32], letting the chain cross the gate flipped
-          // reads to a distributed SMJ anti-join whose per-round sort cost
-          // exceeded the write savings at wide parallelism
-          val compactF = !cfg.frontierDeltaCommits ||
-            StateTable.shouldCompact(frontierDir(stateDir), prevV, cfg.compactEvery) ||
-            StateTable.totalDels(frontierDir(stateDir), prevV) + nAdmitted >
-              cfg.exactAntiBroadcastMaxRows
-          if (compactF) {
-            val n = StateTable.writeSnap(nextFrontier, frontierDir(stateDir), version,
-              partitioned = false)
-            StateTable.finalizeCommit(frontierDir(stateDir), version, round, n, counters,
-              compacted = cfg.frontierDeltaCommits)
-          } else {
-            val n = StateTable.writeSnap(newEntries.select(frontierCols.map(col): _*),
-              frontierDir(stateDir), version, partitioned = false)
-            // tombstones ≤ roundBudget rows by construction → fixed width
-            val nd = StateTable.writeDels(
-              admittedKeys.coalesce(cfg.commitWriteParallelism),
-              frontierDir(stateDir), version)
-            StateTable.finalizeCommit(frontierDir(stateDir), version, round, n,
-              counters + (StateTable.DelsCounter -> nd))
-          }
+    // FLAT frontier snapshot: partitionBy(host_bucket) forced a full
+    // repartition of the next frontier every round (the second of the two
+    // full-frontier shuffles the round-2 verdict flagged); nothing prunes
+    // the frontier by bucket — the round always reads all of it — so the
+    // layout bought nothing the engine uses.
+    // Round 4, MERGE-ON-READ delta commits: a non-compaction round writes
+    // only its NEW rows plus the admitted surts as tombstones — O(K + new)
+    // instead of rewriting the whole frontier (the largest remaining
+    // per-round O(state) write; at a 10^10-row frontier the rewrite is the
+    // dominant IO term). Reads subtract the tombstones (readFrontier);
+    // compaction rounds fold the chain into a full base (carried ∪ new) on
+    // the seen table's geometric policy, bounding read fan-in and enabling
+    // retention GC.
+    val frontierWrite: Future[Option[(Long, Option[Long])]] = Future {
+      tagged(s"commit:frontier r$round") {
+      if (StateTable.alreadyCommitted(frontierDir(stateDir), version).isDefined) None
+      else {
+        // compact when EITHER the geometric policy fires OR the accumulated
+        // tombstones would exceed the broadcast budget (Iceberg's
+        // delete-file-ratio compaction trigger, with the broadcast gate as
+        // the ratio): every merged read's tombstone side then stays
+        // broadcast-small, so the frontier scan never shuffles or sorts —
+        // profiled at local[32], letting the chain cross the gate flipped
+        // reads to a distributed SMJ anti-join whose per-round sort cost
+        // exceeded the write savings at wide parallelism
+        val compactF = !cfg.frontierDeltaCommits ||
+          StateTable.shouldCompact(frontierDir(stateDir), prevV, cfg.compactEvery) ||
+          StateTable.totalDels(frontierDir(stateDir), prevV) + nAdmitted >
+            cfg.exactAntiBroadcastMaxRows
+        if (compactF) {
+          val n = StateTable.writeSnap(nextFrontier, frontierDir(stateDir), version,
+            partitioned = false)
+          Some((n, None))
+        } else {
+          val n = StateTable.writeSnap(newEntries.select(frontierCols.map(col): _*),
+            frontierDir(stateDir), version, partitioned = false)
+          // tombstones ≤ roundBudget rows by construction → fixed width
+          val nd = StateTable.writeDels(
+            admittedKeys.coalesce(cfg.commitWriteParallelism),
+            frontierDir(stateDir), version)
+          Some((n, Some(nd)))
         }
-      }),
-      // host_state is FLAT too (round 3): it is always read whole, and the
-      // partitionBy layout cost ~1s/round in a profiled SINGLE-task stage —
-      // AQE coalesces the tiny repartition to one partition, whose one task
-      // then writes all 64 bucket dirs serially (the write-amplification the
-      // layout was supposed to avoid, reintroduced at small row counts).
-      // Round 4: when the manifest proves the table small, the write
-      // coalesces to the fixed small-table width instead of one near-empty
-      // file per core (width-insensitive commit floor, round-3 verdict #1).
-      Future(tagged(s"commit:host_state r$round")(
-        StateTable.commit(
-          if (chooseCoalescedCommit(
-              StateTable.manifest(hostStateDir(stateDir), prevV).map(_.nRows)))
-            nextHostState.coalesce(cfg.commitWriteParallelism)
-          else nextHostState,
-          hostStateDir(stateDir), version, round, counters,
-          partitioned = false))))
-    Await.result(Future.sequence(otherCommits :+ seenCommit.map(_ => 0L) :+ fetchLogCommit), Duration.Inf)
-    val nFetched200 = Await.result(fetchLogCommit, Duration.Inf)
+      }
+    } }
+    // host_state is FLAT too (round 3): it is always read whole, and the
+    // partitionBy layout cost ~1s/round in a profiled SINGLE-task stage —
+    // AQE coalesces the tiny repartition to one partition, whose one task
+    // then writes all 64 bucket dirs serially (the write-amplification the
+    // layout was supposed to avoid, reintroduced at small row counts).
+    // Round 4: when the manifest proves the table small, the write
+    // coalesces to the fixed small-table width instead of one near-empty
+    // file per core (width-insensitive commit floor, round-3 verdict #1).
+    val hostWrite: Future[Option[Long]] = Future {
+      tagged(s"commit:host_state r$round") {
+      if (StateTable.alreadyCommitted(hostStateDir(stateDir), version).isDefined) None
+      else Some(StateTable.writeSnap(
+        if (chooseCoalescedCommit(
+            StateTable.manifest(hostStateDir(stateDir), prevV).map(_.nRows)))
+          nextHostState.coalesce(cfg.commitWriteParallelism)
+        else nextHostState,
+        hostStateDir(stateDir), version, partitioned = false))
+    } }
+    val (fetchLogRes, seenRes, frontierRes, hostRes) = (
+      Await.result(fetchLogWrite, Duration.Inf),
+      Await.result(seenWrite, Duration.Inf),
+      Await.result(frontierWrite, Duration.Inf),
+      Await.result(hostWrite, Duration.Inf))
+    mark("writes")
+
+    // ---- counters (M1): cache-hit counts over the data the writes just
+    // materialized (a replayed round recomputes them, as the old stats
+    // barrier did) ----
+    val nCands = cands.count()
+    val nNew = newEntries.count()
+    mark("stats")
+    val counters = Map(
+      "admitted" -> nAdmitted,
+      "candidates" -> nCands, "new_urls" -> nNew,
+      "dedup_dropped" -> (nCands - nNew))
+
+    // ---- serial manifest + CURRENT publishes (tiny JSON writes; the commit
+    // points). Publish order is irrelevant — Resume takes the min. ----
+    fetchLogRes.foreach { case (n, n200, compactLog) =>
+      StateTable.finalizeCommit(fetchLogDir(stateDir), version, round, n,
+        counters + ("fetched200" -> n200), compacted = compactLog)
+    }
+    seenRes.foreach { case (n, compact) =>
+      StateTable.finalizeCommit(seenDir(stateDir), version, round, n, counters,
+        compacted = compact)
+    }
+    frontierRes.foreach {
+      case (n, None) =>
+        StateTable.finalizeCommit(frontierDir(stateDir), version, round, n, counters,
+          compacted = cfg.frontierDeltaCommits)
+      case (n, Some(nd)) =>
+        StateTable.finalizeCommit(frontierDir(stateDir), version, round, n,
+          counters + (StateTable.DelsCounter -> nd))
+    }
+    hostRes.foreach { n =>
+      StateTable.finalizeCommit(hostStateDir(stateDir), version, round, n, counters)
+    }
+    val nFetched200 = fetchLogRes.map(_._2).getOrElse(
+      StateTable.manifest(fetchLogDir(stateDir), version)
+        .flatMap(_.counters.get("fetched200")).getOrElse(0L))
     mark("commits")
 
     // ---- snapshot expiration (retention GC). Versions below the window (and

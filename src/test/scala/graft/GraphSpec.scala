@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** Graph-primitive correctness: connected components against an in-test
+  * union-find reference on randomized graphs (plus convergence on shapes
+  * that stress hash-min: chains, stars, rings), dedup clustering's
+  * keep/size semantics, and PageRank against an in-test reference that
+  * mirrors the micro-unit quantization exactly.
+  */
+class GraphSpec extends AnyFunSuite with SparkTestSession {
+
+  /** Plain union-find reference (path compression, no ranks). */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // roots are not guaranteed min under arbitrary union order — normalize
+    val byRoot = parent.keys.toSeq.groupBy(find)
+    byRoot.flatMap { case (_, members) =>
+      val m = members.min
+      members.map(_ -> m)
+    }.toMap
+  }
+
+  test("connectedComponents ≡ union-find on randomized graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 200 + trial * 100
+      val edges = Seq.fill(n)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Graph.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = ufComponents(edges)
+      assert(got == want, s"trial $trial: ${got.size} vs ${want.size} vertices")
+    }
+  }
+
+  test("connectedComponents converges on chains, stars and rings") {
+    import spark.implicits._
+    val chain = (0L until 15L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val star = (1L to 20L).map(i => (0L, i))
+    val ring = (0L until 12L).map(i => (100L + i, 100L + (i + 1) % 12))
+    val all = chain ++ star ++ ring
+    val got = Graph.connectedComponents(all.toDF("a", "b"), maxIter = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ufComponents(all))
+    // chain+star share vertex 0..: chain 0-14 and star 0-20 merge to comp 0
+    assert((0L to 20L).forall(got(_) == 0L))
+    assert((100L until 112L).forall(got(_) == 100L))
+  }
+
+  test("dedupClusters: one kept representative per cluster, correct sizes") {
+    import spark.implicits._
+    // components: {1,2,3} (triangle), {10,11} (pair), {20,21,22,23} (chain)
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L))
+    val rows = Graph.dedupClusters(pairs.toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val byCluster = rows.groupBy(_._2)
+    assert(byCluster.keySet == Set(1L, 10L, 20L))
+    assert(byCluster(1L).map(_._1).toSet == Set(1L, 2L, 3L))
+    assert(byCluster(1L).forall(_._3 == 3L))
+    assert(byCluster(20L).forall(_._3 == 4L))
+    // exactly one keep per cluster, and it is the min id
+    rows.foreach { case (id, comp, _, keep) => assert(keep == (id == comp)) }
+    assert(rows.count(_._4) == 3)
+  }
+
+  /** In-test PageRank reference mirroring pagerankMicro's quantization. */
+  private def prReference(edges: Seq[(Long, Long)], iters: Int, d: Double): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val n = nodes.length
+    val od = e.groupBy(_._1).map { case (s, es) => s -> es.length }
+    var pr = nodes.map(_ -> math.round(1e9 / n)).toMap
+    val teleport = math.round((1.0 - d) * 1e9 / n)
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (s, _) =>
+          BigDecimal(d * pr(s) / od(s)).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }.sum
+      }
+      pr = nodes.map(v => v -> (teleport + in.getOrElse(v, 0L))).toMap
+    }
+    pr
+  }
+
+  test("pagerankMicro ≡ quantized reference on a randomized digraph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(600)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    val got = Graph.pagerankMicro(edges.toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = prReference(edges, iters = 3, d = 0.85)
+    assert(got == want)
+  }
+
+  test("pagerankMicro: sinks keep teleport mass; hubs accumulate") {
+    import spark.implicits._
+    // star: everything points at 0; 0 points nowhere (dangling)
+    val edges = (1L to 9L).map(i => (i, 0L))
+    val got = Graph.pagerankMicro(edges.toDF("src", "dst"), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 10)
+    // leaves get exactly the teleport floor after iteration 1+
+    val teleport = math.round((1.0 - 0.85) * 1e9 / 10)
+    assert((1L to 9L).forall(got(_) == teleport))
+    assert(got(0L) > got(1L) * 5)
+  }
+}
