@@ -607,6 +607,52 @@ object SparkEntry {
       Graph.dedupClusters(pairs).orderBy("doc_id")
     }),
 
+    // ---- cross-set entity matching with attribute transfer (the
+    // reference's match.py capability transposed; SURVEY §0.4): every
+    // customer matched against its order-aggregate entity, B attributes
+    // (order counts, order-exact integer cents) transferred onto matched
+    // rows, every entity classified both / a_only / b_only. One full-outer
+    // hash join — DuckDB-oracled. ----
+    "q_match_transfer" -> ((s, dir) => {
+      val cust = s.read.parquet(t(dir, "customer"))
+        .select(col("c_custkey").as("custkey"), col("c_name"), col("c_mktsegment"))
+      val ords = s.read.parquet(t(dir, "orders"))
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("total_cents"))
+      graft.operators.Match.matchByKey(cust, ords, "custkey")
+        .orderBy("custkey")
+    }),
+
+    // ---- fuzzy cross-set match (record linkage): every even-id document
+    // matched to its best near-duplicate odd-id document by word-trigram
+    // Jaccard ≥ 0.5 — LSH-bucketed candidates + exact rerank + argmax
+    // aggregation, DuckDB-oracled against the all-pairs argmax. ----
+    "q_match_fuzzy" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      graft.operators.Match.nearMatchByText(
+          docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1),
+          "doc_id", "text", k = 3, m = 64, bands = 32, threshold = 0.5)
+        .orderBy("a_id")
+    }),
+
+    // ---- keyed snapshot diff (incremental export): per-customer order
+    // stats at an early cutoff vs the full range; output is exactly the
+    // keys whose entity was added or changed between the two versions
+    // (null-safe struct comparison; unchanged keys emit nothing). Same
+    // operator diffs the engine's versioned state tables (MatchSpec). ----
+    "q_snapshot_diff" -> ((s, dir) => {
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("total_cents"))
+      val orders = s.read.parquet(t(dir, "orders"))
+      val before = agg(orders.where(col("o_orderdate") < "1996-01-01"))
+      val after = agg(orders)
+      graft.operators.Match.diffByKey(before, after, Seq("custkey"))
+        .orderBy("custkey")
+    }),
+
     // ---- batch PageRank (the offline companion of A3's online OPIC), 3
     // power iterations in order-exact integer micro-units over the
     // order→part bipartite graph (parts offset so the id spaces are
@@ -913,6 +959,75 @@ object SparkEntry {
       SELECT cc.id AS doc_id, cc.cluster_id, sz.cluster_size,
              cc.id = cc.cluster_id AS keep
       FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id"""),
+
+    // full-outer keyed match with presence classification — mirrors
+    // Match.matchByKey; per-row integer cents before the sum keep the
+    // aggregate order-exact in both engines
+    "q_match_transfer" -> ("""
+      WITH cust AS (
+        SELECT c_custkey AS custkey, c_name, c_mktsegment FROM customer),
+      ords AS (
+        SELECT o_custkey AS custkey, cast(count(*) AS BIGINT) AS n_orders,
+               cast(sum(cast(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM orders GROUP BY o_custkey)
+      SELECT coalesce(cust.custkey, ords.custkey) AS custkey,
+             c_name, c_mktsegment, n_orders, total_cents,
+             CASE WHEN cust.custkey IS NOT NULL AND ords.custkey IS NOT NULL THEN 'both'
+                  WHEN cust.custkey IS NOT NULL THEN 'a_only'
+                  ELSE 'b_only' END AS match_status
+      FROM cust FULL OUTER JOIN ords ON cust.custkey = ords.custkey
+      ORDER BY custkey"""),
+
+    // all-pairs even×odd trigram-Jaccard argmax — the complete-recall
+    // recompute of the engine's LSH-candidates→rerank→argmax pipeline
+    // (same shingle SQL the end-to-end minhash oracle pins); ties broken
+    // to the smallest b_id on the 6-dp-quantized jaccard, mirroring
+    // Match.nearMatchByText's max(struct(jaccard, -b_id))
+    "q_match_fuzzy" -> ("""
+      WITH t AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct([array_to_string(toks[i+1:i+3], ' ')
+                                      for i in range(0, greatest(len(toks)-3, 0) + 1)]) AS s
+        FROM t),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round(cast(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                     greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        WHERE round(cast(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                    greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) >= 0.5),
+      best AS (SELECT a_id, max(jaccard) AS jaccard FROM pairs GROUP BY a_id)
+      SELECT p.a_id AS a_id, min(p.b_id) AS b_id, p.jaccard AS jaccard
+      FROM pairs p JOIN best USING (a_id, jaccard)
+      GROUP BY p.a_id, p.jaccard ORDER BY a_id"""),
+
+    // keyed diff: keys added or changed between the cutoff aggregate and the
+    // full aggregate (removal impossible on an append-only fact table);
+    // IS DISTINCT FROM mirrors the operator's null-safe struct comparison
+    "q_snapshot_diff" -> ("""
+      WITH before AS (
+        SELECT o_custkey AS custkey, cast(count(*) AS BIGINT) AS n_orders,
+               cast(sum(cast(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01' GROUP BY o_custkey),
+      after AS (
+        SELECT o_custkey AS custkey, cast(count(*) AS BIGINT) AS n_orders,
+               cast(sum(cast(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM orders GROUP BY o_custkey)
+      SELECT coalesce(b.custkey, a.custkey) AS custkey,
+             CASE WHEN b.custkey IS NULL THEN 'added'
+                  WHEN a.custkey IS NULL THEN 'removed'
+                  WHEN (b.n_orders IS DISTINCT FROM a.n_orders)
+                    OR (b.total_cents IS DISTINCT FROM a.total_cents) THEN 'changed'
+             END AS change
+      FROM before b FULL OUTER JOIN after a ON b.custkey = a.custkey
+      WHERE CASE WHEN b.custkey IS NULL THEN 'added'
+                 WHEN a.custkey IS NULL THEN 'removed'
+                 WHEN (b.n_orders IS DISTINCT FROM a.n_orders)
+                   OR (b.total_cents IS DISTINCT FROM a.total_cents) THEN 'changed'
+            END IS NOT NULL
+      ORDER BY custkey"""),
 
     // 3 PageRank power iterations in integer micro-units, mirroring
     // Graph.pagerankMicro term for term: identical IEEE double expressions
