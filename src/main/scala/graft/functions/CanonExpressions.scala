@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,9 +21,16 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object CanonKernel {
 
-  /** null in / unparseable in → null out (mirrors resolveCanonUdf). */
+  /** Mirrors resolveCanonUdf EXACTLY, including nulls: the kernel is total
+    * over null inputs because `UrlCanon.resolve(null, absoluteHref)` is a
+    * defined case (the RFC short-circuit uses the href's own scheme without
+    * touching the base), so a null-safe wrapper would NOT be equivalent to
+    * the UDF composition `canonParts(resolve(b, h))`.
+    */
   def resolveCanon(base: UTF8String, href: UTF8String): InternalRow = {
-    val cp = UrlCanon.canonParts(UrlCanon.resolve(base.toString, href.toString))
+    val cp = UrlCanon.canonParts(UrlCanon.resolve(
+      if (base == null) null else base.toString,
+      if (href == null) null else href.toString))
     if (cp == null) null
     else new GenericInternalRow(Array[Any](
       UTF8String.fromString(cp.url), UTF8String.fromString(cp.host),
@@ -88,20 +96,37 @@ object CanonKernel {
     StructField("text_xxh64", LongType)))
 }
 
-/** resolve(base, href) → canonicalize → (url, host, path, surt) struct. */
+/** resolve(base, href) → canonicalize → (url, host, path, surt) struct.
+  *
+  * NOT null-safe-wrapped: a null base with an absolute href is a DEFINED
+  * input of the underlying UDF composition (RFC 3986 §5.2.1's short-circuit
+  * never reads the base), so eval/codegen pass possibly-null children into
+  * the total kernel instead of short-circuiting — keeping the expression
+  * exactly equal to `resolveCanonUdf`, which [[NativeUrlRewrite]] rewrites
+  * into this node.
+  */
 case class ResolveCanonSurt(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = CanonKernel.canonPartsType
   override def nullable: Boolean = true
   override def prettyName: String = "resolve_canon_surt"
-  override protected def nullSafeEval(base: Any, href: Any): Any =
-    CanonKernel.resolveCanon(base.asInstanceOf[UTF8String], href.asInstanceOf[UTF8String])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (base, href) =>
-      s"""
-         |${ev.value} = graft.functions.CanonKernel.resolveCanon($base, $href);
-         |${ev.isNull} = ${ev.value} == null;
-       """.stripMargin)
+  override def eval(input: InternalRow): Any =
+    CanonKernel.resolveCanon(
+      left.eval(input).asInstanceOf[UTF8String],
+      right.eval(input).asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bEv = left.genCode(ctx)
+    val hEv = right.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${bEv.code}
+        ${hEv.code}
+        InternalRow ${ev.value} = graft.functions.CanonKernel.resolveCanon(
+          ${bEv.isNull} ? null : ${bEv.value},
+          ${hEv.isNull} ? null : ${hEv.value});
+        boolean ${ev.isNull} = ${ev.value} == null;
+      """)
+  }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -184,4 +209,7 @@ object CanonExpressions {
   def surtCol(raw: Column): Column = column(SurtOf(expression(raw)))
   def pageScanCol(html: Column): Column = column(PageScan(expression(html)))
   def pageScanHashCol(html: Column): Column = column(PageScanHash(expression(html)))
+  /** X1 generator: one (href, anchor) row per link — use in a select; the
+    * analyzer lifts it into a `Generate` node (see [[ExtractLinksGen]]). */
+  def extractLinksGenCol(html: Column): Column = column(ExtractLinksGen(expression(html)))
 }

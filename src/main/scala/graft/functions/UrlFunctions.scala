@@ -27,12 +27,14 @@ object UrlFunctions {
 
   // --- UDFs over the pure core ---
 
-  val canonUdf = udf((raw: String) => Option(UrlCanon.canonicalize(raw)))
-  val surtUdf = udf((raw: String) => Option(UrlCanon.surt(raw)))
+  // canon/surt/resolve carry their SQL names on the Column-API vals too, so
+  // NativeUrlRewrite can match either usage form by `udfName`
+  val canonUdf = udf((raw: String) => Option(UrlCanon.canonicalize(raw))).withName("canon_url")
+  val surtUdf = udf((raw: String) => Option(UrlCanon.surt(raw))).withName("surt")
   val hostOfUdf = udf((raw: String) => Option(UrlCanon.hostOf(raw)))
   val regHostUdf = udf((h: String) => Option(UrlCanon.regHost(h)))
   val hostReverseUdf = udf((h: String) => Option(UrlCanon.hostReverse(h)))
-  val resolveUdf = udf((base: String, ref: String) => Option(UrlCanon.resolve(base, ref)))
+  val resolveUdf = udf((base: String, ref: String) => Option(UrlCanon.resolve(base, ref))).withName("resolve_link")
   val pathOfUdf = udf((raw: String) => Option(UrlCanon.parse(raw)).filter(_ != null).map(_.path))
 
   val extractLinksUdf = udf((html: Array[Byte]) => Html.extractLinks(html))
