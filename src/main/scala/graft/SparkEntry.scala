@@ -982,7 +982,7 @@ object SparkEntry {
     // recompute of the engine's LSH-candidates→rerank→argmax pipeline
     // (same shingle SQL the end-to-end minhash oracle pins); ties broken
     // to the smallest b_id on the 6-dp-quantized jaccard, mirroring
-    // Match.nearMatchByText's max(struct(jaccard, -b_id))
+    // Match.nearMatchByText's max_by ordered by (jaccard, -b_id)
     "q_match_fuzzy" -> ("""
       WITH t AS (
         SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Cross-set entity matching — the engine's transposition of the reference's
@@ -18,6 +19,34 @@ import org.apache.spark.sql.functions._
   * co-located zipper). No window, no sort, no driver-side row data.
   */
 object Match {
+
+  /** One scored candidate (and the argmax buffer/result). */
+  final case class BestPair(b_id: Long, jaccard: Double)
+
+  /** Hash-aggregable argmax: highest jaccard, ties to the smallest b_id.
+    *
+    * Why not `max(struct(...))` or `max_by(...)`: both carry struct-typed
+    * aggregation buffers, which have no mutable-buffer representation, so
+    * Spark plans them as SortAggregate — a per-group SORT of the whole
+    * candidate set. A typed Aggregator runs as ObjectHashAggregate (same
+    * family as AdmitTopK / the bloom UDAF): one hash probe + compare per
+    * row, partial-aggregated map-side before the shuffle. Plan-asserted in
+    * PlanSpec.
+    *
+    * The sentinel jaccard = -1 is strictly below any real score (≥ 0), and
+    * the (jaccard DESC, b_id ASC) order is total over distinct b_ids, so
+    * the fold is commutative/associative — parallelism-independent.
+    */
+  private final class BestMatchAgg extends Aggregator[BestPair, BestPair, BestPair] {
+    private def better(x: BestPair, y: BestPair): BestPair =
+      if (y.jaccard > x.jaccard || (y.jaccard == x.jaccard && y.b_id < x.b_id)) y else x
+    override def zero: BestPair = BestPair(Long.MaxValue, -1.0)
+    override def reduce(b: BestPair, a: BestPair): BestPair = better(b, a)
+    override def merge(x: BestPair, y: BestPair): BestPair = better(x, y)
+    override def finish(b: BestPair): BestPair = b
+    override def bufferEncoder: Encoder[BestPair] = Encoders.product[BestPair]
+    override def outputEncoder: Encoder[BestPair] = Encoders.product[BestPair]
+  }
 
   /** Match two keyed entity sets on `key`, keeping every entity from either
     * side: one output row per key present in A or B, all of A's and B's
@@ -72,10 +101,12 @@ object Match {
     *     boilerplate, not pairwise similarity (L2's rationale).
     *  3. exact-Jaccard rerank only on candidates: shingle arrays re-attach
     *     BY ID (two joins with the small candidate set on the build side).
-    *  4. per-A argmax as ONE hash aggregation — `max(struct(jaccard,
-    *     -b_id))` picks highest Jaccard, ties to the smallest b_id; no
-    *     window, no sort. Jaccard is quantized to 6 dp BEFORE the argmax so
-    *     the tie-break is deterministic across engines (oracle-hash-stable).
+    *  4. per-A argmax as ONE hash aggregation — a typed argmax Aggregator
+    *     ([[BestMatchAgg]]) picks highest Jaccard, ties to the smallest
+    *     b_id; no window, no sort (see the Aggregator's doc for why the
+    *     builtin max/max_by forms sort-aggregate). Jaccard is quantized to
+    *     6 dp BEFORE the argmax so the tie-break is deterministic across
+    *     engines (oracle-hash-stable).
     *
     * `idCol` must be integral (the tie-break negates it); output columns
     * `(a_id, b_id, jaccard)`.
@@ -104,8 +135,9 @@ object Match {
       .withColumn("jaccard", round(jaccardUdf(col("sha"), col("shb")), 6))
       .where(col("jaccard") >= threshold)
       .groupBy("a_id")
-      .agg(max(struct(col("jaccard"), (-col("b_id")).as("neg_b"))).as("best"))
-      .select(col("a_id"), (-col("best.neg_b")).as("b_id"),
+      .agg(udaf(new BestMatchAgg(), Encoders.product[BestPair])(
+        col("b_id"), col("jaccard")).as("best"))
+      .select(col("a_id"), col("best.b_id").as("b_id"),
         col("best.jaccard").as("jaccard"))
   }
 

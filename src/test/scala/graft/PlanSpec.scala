@@ -309,6 +309,29 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(overlap >= 1, s"LSH recall collapsed: $overlap/10 of brute-force top-k found")
   }
 
+  test("J8/J9 match plans: shuffled full-outer, no cartesian, no sort-based argmax") {
+    // matchByKey: full-outer has no broadcast arm in Spark — the plan must
+    // be ONE shuffled join (SMJ or shuffled-hash), never nested-loop
+    val mk = sparkPlan(SparkEntry.queries("q_match_transfer")(spark, sf))
+    assert(mk.contains("FullOuter"), s"not a full-outer join:\n$mk")
+    assert(!mk.contains("BroadcastNestedLoopJoin") && !mk.contains("CartesianProduct"),
+      s"full-outer fell back to a nested-loop plan:\n$mk")
+
+    // nearMatchByText: candidates come from band equi-joins only (no
+    // cartesian anywhere), and the per-A argmax aggregates hash-based —
+    // a SortAggregate would re-sort the candidate set per round at scale
+    val nm = SparkEntry.queries("q_match_fuzzy")(spark, sf)
+    val nmPlan = sparkPlan(nm)
+    assert(!nmPlan.contains("CartesianProduct") && !nmPlan.contains("BroadcastNestedLoopJoin"),
+      s"near-match generated an all-pairs plan:\n$nmPlan")
+    val aggLines = nmPlan.linesIterator.filter(_.contains("Aggregate")).toSeq
+    assert(aggLines.exists(l =>
+        l.contains("ObjectHashAggregate") && l.contains("bestmatchagg")),
+      s"argmax is not the hash-based typed Aggregator:\n$nmPlan")
+    assert(!aggLines.exists(_.contains("SortAggregate")),
+      s"argmax fell back to SortAggregate:\n${aggLines.mkString("\n")}")
+  }
+
   test("frontier read restores declared column order and prunes buckets") {
     import spark.implicits._
     val dir = tmpDir("prune")
