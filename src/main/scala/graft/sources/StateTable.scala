@@ -186,8 +186,11 @@ object StateTable {
 
   /** Tombstones accumulated over the merged chain at `v`, manifests only. */
   def totalDels(dir: String, version: Long): Long =
-    mergedChain(dir, version).flatMap(manifest(dir, _))
-      .map(_.counters.getOrElse(DelsCounter, 0L)).sum
+    delsIn(dir, mergedChain(dir, version))
+
+  /** Tombstone count over an explicit chain, manifests only. */
+  private def delsIn(dir: String, vs: Seq[Long]): Long =
+    vs.flatMap(manifest(dir, _)).map(_.counters.getOrElse(DelsCounter, 0L)).sum
 
   /** Read a MERGE-ON-READ table at `version`: (base ∪ news) minus the
     * accumulated tombstone keys — Iceberg equality-deletes analogue. Each
@@ -195,16 +198,14 @@ object StateTable {
     * ([[writeDels]]), so the per-round write is O(delta), not O(table);
     * [[shouldCompact]]-driven compaction folds the chain into a full base.
     *
-    * EXACTNESS PRECONDITION (caller-owned invariant): a deleted key must
-    * never reappear in a LATER delta's news — then subtracting the union of
-    * all dels from the union of all news is order-free. The frontier holds
-    * this by construction: every frontier row is in the seen set, admission
-    * deletes only frontier rows, and new entries are exact-anti-joined
-    * against seen — an admitted (deleted) surt can never be re-discovered.
-    *
-    * The anti-join broadcasts the tombstones while the manifests bound them
-    * under `broadcastMaxDels` (narrow ≤K·chain keys); above the gate it
-    * falls back to a distributed anti-join — the same fail-safe trade as D3.
+    * Deletes are SEQUENCE-SCOPED, as in Iceberg: a tombstone committed at
+    * version d removes only rows committed at versions v < d (round 4 —
+    * the earlier order-free subtraction required the caller to guarantee a
+    * deleted key never reappears in later news, which the recrawl/expiry
+    * operator breaks by design: it deletes a seen surt precisely so the
+    * crawl can re-add it). [[subtractDelsSequenced]] keeps the common case
+    * (all tombstones ≤ the newest del version, news after it untouched) a
+    * single multi-path scan with no join on the untouched suffix.
     */
   def readMerged(
       spark: SparkSession,
@@ -217,19 +218,86 @@ object StateTable {
       .getOrElse(throw new IllegalStateException(s"no committed snapshot in $dir"))
     val vs = mergedChain(dir, v)
     require(vs.nonEmpty, s"no committed snapshot ≤ $v in $dir")
-    val news = readPaths(spark, vs.map(snapPath(dir, _)), schema)
-    val delPaths = vs.map(delPath(dir, _)).filter(hasDataFiles)
-    if (delPaths.isEmpty) news
+    subtractDelsSequenced(spark, dir, vs, schema, keyCol, broadcastMaxDels)
+  }
+
+  /** Read an ALL-DELTA append table at `version` with merge-on-read
+    * tombstones: union of the [[chainAt]] chain (compacted base + deltas,
+    * every delta partial — unlike [[readMerged]]'s full-snapshot bases)
+    * minus the sequence-scoped tombstones. With no tombstones in the chain
+    * this is exactly [[readAppended]]. The seen table reads through this
+    * once the recrawl/expiry operator may have tombstoned entries.
+    */
+  def readAppendedMerged(
+      spark: SparkSession,
+      dir: String,
+      version: Option[Long] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      keyCol: String = "surt",
+      broadcastMaxDels: Long = 500000L): DataFrame = {
+    val v = version.orElse(currentVersion(dir))
+      .getOrElse(throw new IllegalStateException(s"no committed snapshot in $dir"))
+    val vs = chainAt(dir, v)
+    require(vs.nonEmpty, s"no committed snapshot ≤ $v in $dir")
+    subtractDelsSequenced(spark, dir, vs, schema, keyCol, broadcastMaxDels)
+  }
+
+  /** Union the chain's news minus its tombstones, scoping every tombstone to
+    * STRICTLY EARLIER news versions (Iceberg equality-delete sequencing).
+    *
+    * Plan shape: news at versions ≥ the newest del version can never be
+    * deleted (strict <) — they read as ONE untouched multi-path scan with no
+    * join, so a chain whose tombstones all sit at its tip (the frontier's
+    * steady state: every round dels admitted surts from EARLIER rounds) pays
+    * one anti-join on the prefix only. The anti-join is an equi-join on the
+    * key with the sequence comparison as its residual condition — a
+    * BroadcastHashJoin while the manifests bound the tombstones under
+    * `broadcastMaxDels` (narrow ≤K·chain keys); above the gate it falls back
+    * to a distributed anti-join, the same fail-safe trade as D3.
+    */
+  private def subtractDelsSequenced(
+      spark: SparkSession,
+      dir: String,
+      vs: Seq[Long],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      keyCol: String,
+      broadcastMaxDels: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val delVs = vs.filter(dv => hasDataFiles(delPath(dir, dv)))
+    if (delVs.isEmpty) readPaths(spark, vs.map(snapPath(dir, _)), schema)
     else {
-      // no distinct: an anti-join build side tolerates duplicate keys, and
-      // the extra shuffle would cost more than the dupes (there are none —
-      // a key is deleted at most once under the exactness precondition)
-      val dels = spark.read.parquet(delPaths: _*).select(keyCol)
-      val build =
-        if (totalDels(dir, v) <= broadcastMaxDels)
-          org.apache.spark.sql.functions.broadcast(dels)
-        else dels
-      news.join(build, Seq(keyCol), "left_anti")
+      val maxDel = delVs.max
+      val (affectedVs0, clearVs0) = vs.partition(_ < maxDel)
+      // versions with no data files (e.g. an expiry commit: tombstones only,
+      // zero news) contribute nothing — skip them rather than feed an empty
+      // per-version scan to the union
+      val affectedVs = affectedVs0.filter(av => hasDataFiles(snapPath(dir, av)))
+      val clearVs = clearVs0.filter(cv => hasDataFiles(snapPath(dir, cv)))
+      // no distinct on the build side: an anti-join tolerates duplicate keys,
+      // and a key is tombstoned at most once while it is live (a re-added key
+      // may be tombstoned again LATER — distinct sequence numbers, both kept)
+      val dels = delVs.map { dv =>
+        spark.read.parquet(delPath(dir, dv))
+          .select(col(keyCol).as("__del_key"), lit(dv).as("__del_seq"))
+      }.reduce(_ unionByName _)
+      val build = if (delsIn(dir, vs) <= broadcastMaxDels) broadcast(dels) else dels
+      val kept = affectedVs.map { av =>
+        readPaths(spark, Seq(snapPath(dir, av)), schema).withColumn("__seq", lit(av))
+      }.reduceOption(_ unionByName _).map { affected =>
+        affected.join(
+          build,
+          affected(keyCol) === build("__del_key") && build("__del_seq") > affected("__seq"),
+          "left_anti").drop("__seq")
+      }
+      val clear =
+        if (clearVs.isEmpty) None
+        else Some(readPaths(spark, clearVs.map(snapPath(dir, _)), schema))
+      (kept, clear) match {
+        case (Some(k), Some(c)) => k.unionByName(c)
+        case (Some(k), None) => k
+        case (None, Some(c)) => c
+        case (None, None) => readPaths(spark, Seq.empty, schema) // empty w/ schema
+      }
     }
   }
 

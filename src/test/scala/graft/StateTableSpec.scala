@@ -66,6 +66,45 @@ class StateTableSpec extends AnyFunSuite with SparkTestSession {
     assert(at(2L) == Seq("c", "e", "f"))
   }
 
+  test("merge-on-read deletes are sequence-scoped: a re-added key survives") {
+    // The recrawl/expiry shape: v1 tombstones a key with NO news (an expiry
+    // commit), v2 re-adds it. Iceberg sequencing — a delete applies only to
+    // STRICTLY EARLIER news — must keep the re-added row; the old order-free
+    // subtraction would kill it forever.
+    val dir = tmpDir("st-seq")
+    StateTable.commit(Seq("a", "b").toDF("surt"), dir, 0L, 0L, partitioned = false)
+    val nd1 = StateTable.writeDels(Seq("a").toDF("surt"), dir, 1L)
+    StateTable.finalizeCommit(dir, 1L, 1L, 0L, Map(StateTable.DelsCounter -> nd1))
+    val n2 = StateTable.writeSnap(Seq("a").toDF("surt"), dir, 2L, partitioned = false)
+    StateTable.finalizeCommit(dir, 2L, 2L, n2, Map(StateTable.DelsCounter -> 0L))
+    def at(v: Long, gate: Long = 500000L): Seq[String] =
+      StateTable.readMerged(spark, dir, Some(v), broadcastMaxDels = gate)
+        .select("surt").as[String].collect().sorted.toSeq
+    assert(at(1L) == Seq("b"), "expiry tombstone removes the key")
+    assert(at(2L) == Seq("a", "b"), "re-added key must survive the older tombstone")
+    assert(at(2L, gate = 0L) == Seq("a", "b"), "distributed arm agrees")
+    // a SECOND expiry of the re-added key removes it again (two tombstones
+    // for one key at distinct sequence numbers coexist)
+    val nd3 = StateTable.writeDels(Seq("a").toDF("surt"), dir, 3L)
+    StateTable.finalizeCommit(dir, 3L, 3L, 0L, Map(StateTable.DelsCounter -> nd3))
+    assert(at(3L) == Seq("b"))
+
+    // same semantics through the ALL-DELTA chain read (the seen table's
+    // shape: every snap is a partial delta, never a full base)
+    val ad = tmpDir("st-seq-ad")
+    StateTable.commitAppend(Seq("a", "b").toDF("surt"), ad, 0L, 0L)
+    val andd = StateTable.writeDels(Seq("a").toDF("surt"), ad, 1L)
+    StateTable.finalizeCommit(ad, 1L, 1L, 0L, Map(StateTable.DelsCounter -> andd))
+    StateTable.commitAppend(Seq("a", "c").toDF("surt"), ad, 2L, 2L,
+      Map(StateTable.DelsCounter -> 0L))
+    def atAd(v: Long): Seq[String] =
+      StateTable.readAppendedMerged(spark, ad, Some(v))
+        .select("surt").as[String].collect().sorted.toSeq
+    assert(atAd(0L) == Seq("a", "b"))
+    assert(atAd(1L) == Seq("b"))
+    assert(atAd(2L) == Seq("a", "b", "c"), "all-delta chain: re-add survives")
+  }
+
   test("append-mode read unions deltas") {
     val dir = tmpDir("st")
     StateTable.commitAppend(Seq(1).toDF("k"), dir, 0L, 0L)
