@@ -162,6 +162,29 @@ object SparkEntry {
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }),
 
+    // ---- D6 companion: adaptive revisit scheduling (the due-set predicate
+    // feeding Recrawl.scheduleRefetch). Cho/Garcia-Molina-style policy:
+    // revisit interval inversely proportional to the observed change rate
+    // (here: 'purchase' events stand in for observed content changes per
+    // key), clamped to ≥1h; a key is due when last_seen + interval passes
+    // the fixed reference instant. Integer epoch arithmetic end to end so
+    // the boundary is engine-exact. One hash aggregation — the shape that
+    // scales to a 10^10-row fetch log. ----
+    "q_recrawl_due" -> ((s, dir) => {
+      s.read.parquet(t(dir, "events"))
+        .groupBy(col("user_id").as("key"))
+        .agg(
+          count(lit(1)).as("n_visits"),
+          count(when(col("event_type") === "purchase", 1)).as("n_changes"),
+          unix_timestamp(max(col("ts"))).as("last_epoch"))
+        .withColumn("interval_hours",
+          greatest(lit(1L), floor(lit(168L) / (lit(1L) + col("n_changes")))))
+        .withColumn("due",
+          (col("last_epoch") + lit(3600L) * col("interval_hours")) < lit(1706745600L))
+        .select("key", "n_visits", "n_changes", "interval_hours", "last_epoch", "due")
+        .orderBy("key")
+    }),
+
     // ---- A3: OPIC cash-split shape (contribution = value/n, sum per target).
     // n_links via a window count over the same l_orderkey partitioning the
     // self-join would shuffle for — one shuffle instead of two ----
@@ -769,6 +792,17 @@ object SparkEntry {
                ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS roll_qty
       FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber"""),
+
+    "q_recrawl_due" -> ("""
+      SELECT user_id AS key,
+             count(*) AS n_visits,
+             count(*) FILTER (WHERE event_type = 'purchase') AS n_changes,
+             greatest(1, 168 // (1 + count(*) FILTER (WHERE event_type = 'purchase'))) AS interval_hours,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch,
+             (CAST(floor(epoch(max(ts))) AS BIGINT)
+               + 3600 * greatest(1, 168 // (1 + count(*) FILTER (WHERE event_type = 'purchase'))))
+               < 1706745600 AS due
+      FROM events GROUP BY 1 ORDER BY key"""),
 
     "q_a3_opic" -> ("""
       WITH n AS (SELECT l_orderkey AS k, count(*) AS n_links FROM lineitem GROUP BY 1)

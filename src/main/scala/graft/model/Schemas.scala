@@ -104,6 +104,11 @@ final case class CrawlConfig(
     defaultCrawlDelayRounds: Double = 1.0,
     maxPathLength: Int = 2048,
     bloomFpp: Double = 1e-3,
+    // URL-seen sidecar kernel: "bloom" (default — fewest bits/key) or
+    // "cuckoo" (16-bit-fingerprint cuckoo filter — supports in-place DELETE,
+    // so recrawl expiry keeps the fast path tight instead of riding the
+    // exact anti-join until the next rebuild; see SeenStore / SURVEY §2.5 D5)
+    seenFilter: String = "bloom",
     hotHostThreshold: Long = 100000, // A5: candidate count above which a host is salted
     saltFactor: Int = 8,
     // fetch-join strategy: admitted ≤ this → broadcast the admitted side

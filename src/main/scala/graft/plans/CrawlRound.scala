@@ -270,7 +270,12 @@ object CrawlRound {
     // commit critical path (profiled via tagged commit stages)
     val hostState = StateTable.read(spark, hostStateDir(stateDir), Some(prevV), Some(graft.model.Schemas.hostState))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val seen = StateTable.readAppended(spark, seenDir(stateDir), Some(prevV), Some(graft.model.Schemas.urlSeen))
+    // tombstone-aware (round 4): a recrawl expiry commit may have forgotten
+    // entries (sequence-scoped dels) — the exact set must reflect that or
+    // expired URLs would never be re-admitted. With no expiry in the chain
+    // this is exactly the plain chain union (no join in the plan).
+    val seen = StateTable.readAppendedMerged(spark, seenDir(stateDir), Some(prevV),
+      Some(graft.model.Schemas.urlSeen), broadcastMaxDels = cfg.exactAntiBroadcastMaxRows)
 
     // Robots arms (J1/P2/T1): map-side UDF probes against the broadcast map,
     // or — above the host gate — joins against the distributed policy table.
