@@ -150,6 +150,15 @@ object Graph {
       pr = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"), (lit(teleport) + coalesce(col("inmass"), lit(0L))).as("pr"))
     }
-    pr.select(col("id"), col("pr").as("pr_micro"))
+    // materialize the (vertex-sized) result, then drop the edge-sized
+    // intermediates — otherwise nodes/eDeg cached blocks outlive the call
+    // for the session lifetime (same discipline as connectedComponents; the
+    // returned frame is persisted, callers unpersist it when done)
+    val result = pr.select(col("id"), col("pr").as("pr_micro"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    nodes.unpersist()
+    eDeg.unpersist()
+    result
   }
 }

@@ -108,8 +108,8 @@ object Match {
     *     6 dp BEFORE the argmax so the tie-break is deterministic across
     *     engines (oracle-hash-stable).
     *
-    * `idCol` must be integral (the tie-break negates it); output columns
-    * `(a_id, b_id, jaccard)`.
+    * `idCol` must fit a Long (the argmax buffer carries it as
+    * `BestPair.b_id`); output columns `(a_id, b_id, jaccard)`.
     */
   def nearMatchByText(a: DataFrame, b: DataFrame, idCol: String, textCol: String,
       k: Int = 3, m: Int = 64, bands: Int = 32, threshold: Double = 0.5,
@@ -125,7 +125,11 @@ object Match {
       .groupBy("band_idx", "band_hash")
       .agg(collect_set(col(side)).as(side + "s"))
     val cand = banded(a, "a_id").join(banded(b, "b_id"), Seq("band_idx", "band_hash"))
-      .where(size(col("a_ids")) * size(col("b_ids")) <= maxBucketPairs)
+      // LONG multiply: `size()` is Int, and the degenerate buckets this cap
+      // exists to drop are exactly the ones whose Int product overflows
+      // (65536² wraps to 0 and would PASS the filter with ANSI mode off)
+      .where(size(col("a_ids")).cast("long") * size(col("b_ids")).cast("long")
+        <= maxBucketPairs.toLong)
       .select(explode(col("a_ids")).as("a_id"), col("b_ids"))
       .select(col("a_id"), explode(col("b_ids")).as("b_id"))
       .distinct()

@@ -608,8 +608,13 @@ object CrawlRound {
     }
     frontierRes.foreach {
       case (n, None) =>
+        // a full frontier snapshot is ALWAYS a valid compaction point (the
+        // snap holds the complete table) — marked in both commit modes so
+        // retention GC's chain cutoff is well-defined even when maintenance
+        // DELTAS (Recrawl.commitMaintenance) interleave with full-commit
+        // rounds: the delta's base is then never expired from under it
         StateTable.finalizeCommit(frontierDir(stateDir), version, round, n, counters,
-          compacted = cfg.frontierDeltaCommits)
+          compacted = true)
       case (n, Some(nd)) =>
         StateTable.finalizeCommit(frontierDir(stateDir), version, round, n,
           counters + (StateTable.DelsCounter -> nd))
@@ -628,9 +633,12 @@ object CrawlRound {
     // crawl age. Disabled (0) keeps full time-travel history. ----
     if (cfg.retentionVersions > 0) {
       val keep = math.max(cfg.retentionVersions, 2)
-      // delta-committed frontier reads need its chain back to the compacted
-      // base — expire like an append table; full-commit mode reads standalone
-      StateTable.expire(frontierDir(stateDir), keep, append = cfg.frontierDeltaCommits)
+      // the frontier expires CHAIN-AWARE in both commit modes: maintenance
+      // versions (Recrawl) are merge-on-read deltas even under full-commit
+      // rounds, so a retained read may need the newest full base below it.
+      // Every full snapshot is marked a compaction point (see the finalize
+      // above), so in full-commit mode the cutoff still advances every round.
+      StateTable.expire(frontierDir(stateDir), keep, append = true)
       StateTable.expire(hostStateDir(stateDir), keep, append = false)
       val deadSeen = StateTable.expire(seenDir(stateDir), keep, append = true)
       StateTable.expire(fetchLogDir(stateDir), keep, append = true)

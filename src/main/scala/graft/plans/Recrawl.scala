@@ -65,11 +65,22 @@ object Recrawl {
     val frontier = CrawlRound.readFrontier(spark, stateDir, Some(prevV),
       broadcastMaxDels = cfg.exactAntiBroadcastMaxRows)
     // newest fetch per surt supplies (url, host); depth 0 + seed score put
-    // the refetch at seed priority in the O1 order
+    // the refetch at seed priority in the O1 order. The fetch log is
+    // APPEND-ONLY, so it still lists URLs a later expireSeen forgot — those
+    // must not be refetched: a frontier row for a URL absent from seen
+    // breaks the frontier ⊆ seen invariant (link re-discovery would then
+    // add a SECOND row for the same surt, and O1's no-ties guarantee dies).
+    // Semi-joining the selection against the live seen set (the same merged
+    // read expireSeen uses) keeps refetch ⊆ seen; a forgotten URL re-enters
+    // organically via links, as expireSeen's contract states.
+    val seen = StateTable.readAppendedMerged(
+      spark, CrawlRound.seenDir(stateDir), Some(prevV), Some(graft.model.Schemas.urlSeen),
+      broadcastMaxDels = cfg.exactAntiBroadcastMaxRows)
     val log = StateTable.readAppended(
       spark, CrawlRound.fetchLogDir(stateDir), Some(prevV), Some(graft.model.Schemas.fetchLog))
     val latest = log
       .join(selector.select("surt").distinct(), Seq("surt"), "left_semi")
+      .join(seen.select("surt"), Seq("surt"), "left_semi")
       .groupBy(col("surt"))
       .agg(max(struct(col("round"), col("url"), col("host"))).as("f"))
       .select(col("surt"), col("f.url").as("url"), col("f.host").as("host"))

@@ -58,14 +58,21 @@ object Sitemaps {
   def parseStream(raw: java.io.InputStream): SitemapDoc = {
     val urls = Seq.newBuilder[String]
     val maps = Seq.newBuilder[String]
+    // the parse consumes the stream whole, so this function owns it: close
+    // in a finally (closing the gzip wrapper also ends its Inflater). The
+    // normal-EOF path leaks a file handle per sitemap otherwise — an
+    // executor reading tens of thousands of sitemaps would exhaust ulimit.
+    var toClose: java.io.InputStream = raw
     try {
       val buf = new java.io.BufferedInputStream(raw, 64 * 1024)
+      toClose = buf
       buf.mark(2)
       val m0 = buf.read(); val m1 = buf.read()
       buf.reset()
       val in: java.io.InputStream =
         if (m0 == 0x1f && m1 == 0x8b) new java.util.zip.GZIPInputStream(buf, 64 * 1024)
         else buf
+      toClose = in
       val r = new java.io.InputStreamReader(in, StandardCharsets.UTF_8)
 
       // mode: 0 = outside any parent, 1 = inside <url>, 2 = inside <sitemap>;
@@ -120,6 +127,7 @@ object Sitemaps {
         }
       }
     } catch { case _: java.io.IOException => () } // corrupt gz / IO: partial result
+    finally { try toClose.close() catch { case _: java.io.IOException => () } }
     SitemapDoc(urls.result(), maps.result())
   }
 

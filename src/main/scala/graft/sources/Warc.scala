@@ -249,7 +249,14 @@ object Warc {
         .withZone(java.time.ZoneOffset.UTC)
       val tc = org.apache.spark.TaskContext.get()
       val pid = tc.partitionId()
-      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(confSer.value)
+      // a PRIVATE FileSystem instance (NOT the JVM-cached one from
+      // getFileSystem): setWriteChecksum mutates the instance, and the cache
+      // shares one instance per (scheme, authority) across the whole
+      // executor — flipping it there would silently strip .crc sidecars
+      // from every OTHER writer (including Spark's own file sinks) for the
+      // executor's lifetime. The private instance is closed below.
+      val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+        new org.apache.hadoop.fs.Path(dir).toUri, confSer.value)
       // no .crc sidecars: local/checksum filesystems would litter the archive
       // dir with hidden checksum files the WARC layout doesn't use
       fs.setWriteChecksum(false)
@@ -284,6 +291,7 @@ object Warc {
       } finally {
         try out.close() catch { case _: java.io.IOException => () }
         if (fs.exists(tmp)) fs.delete(tmp, false)
+        try fs.close() catch { case _: java.io.IOException => () }
       }
     }
   }

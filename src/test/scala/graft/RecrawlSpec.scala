@@ -85,6 +85,45 @@ class RecrawlSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("scheduleRefetch skips expired URLs — frontier ⊆ seen survives expire-then-refetch") {
+    val dir = tmpDir("crawl-rfex")
+    Crawler.crawl(spark, dir, pages, robots, seeds, cfg, 4)
+    val fetched = StateTable.readAppended(spark, CrawlRound.fetchLogDir(dir),
+      schema = Some(graft.model.Schemas.fetchLog))
+      .where(col("status") === 200).select("surt").distinct()
+    assert(Recrawl.expireSeen(spark, dir, cfg, fetched) > 0)
+    // the fetch log still lists every expired URL; refetching one would put
+    // it in the frontier while absent from seen, so link re-discovery could
+    // then add a SECOND frontier row for the same surt
+    assert(Recrawl.scheduleRefetch(spark, dir, cfg, fetched) == 0L,
+      "refetch must not resurrect URLs the expiry operator forgot")
+    val stillSeen = seenMembers(dir)
+    val f1 = CrawlRound.readFrontier(spark, dir).select("surt")
+      .collect().map(_.getString(0)).toSeq
+    assert(f1.toSet.subsetOf(stillSeen), "frontier ⊆ seen must hold after expire+refetch")
+    // crawl on: expired URLs re-enter via links exactly once
+    Crawler.crawl(spark, dir, pages, robots, seeds, cfg, 9)
+    val f2 = Crawler.orderedFrontier(spark, dir).select("surt")
+      .collect().map(_.getString(0)).toSeq
+    assert(f2.size == f2.distinct.size, "re-discovery duplicated a frontier surt")
+  }
+
+  test("retention GC keeps the base a retained maintenance delta reads through (full-commit mode)") {
+    val cfgF = cfg.copy(frontierDeltaCommits = false, retentionVersions = 2)
+    val dir = tmpDir("crawl-gc-maint")
+    Crawler.crawl(spark, dir, pages, robots, seeds, cfgF, 3)
+    val sel = StateTable.readAppended(spark, CrawlRound.fetchLogDir(dir),
+      schema = Some(graft.model.Schemas.fetchLog))
+      .where(col("status") === 200).select("surt").distinct()
+    assert(Recrawl.scheduleRefetch(spark, dir, cfgF, sel) > 0) // delta commit at v4
+    val atMaint = CrawlRound.readFrontier(spark, dir, Some(4L)).count()
+    Crawler.crawl(spark, dir, pages, robots, seeds, cfgF, 5) // round 5 commits; GC retains {4,5}
+    // v4 is inside the retention window: its read must still resolve the
+    // full-snapshot base below it, not collapse to the refetch delta alone
+    assert(CrawlRound.readFrontier(spark, dir, Some(4L)).count() == atMaint,
+      "retained maintenance version lost its base to GC")
+  }
+
   test("expireSeen forgets URLs; cuckoo fast path tightens while bloom stays fail-safe") {
     for (kind <- Seq("bloom", "cuckoo")) {
       val cfgK = cfg.copy(seenFilter = kind)
