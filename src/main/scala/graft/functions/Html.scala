@@ -198,7 +198,6 @@ object Html {
           val (hrefRaw, past) = parseHref(html, i)
           // anchor body = text up to matching </a> (or next <a / end)
           var j = past
-          var depthGuard = 0
           var end = html.length
           var bodyEnd = html.length
           var found = false
@@ -214,7 +213,6 @@ object Html {
               }
             }
             if (!found) j += 1
-            depthGuard += 1
           }
           if (!found) { bodyEnd = html.length; end = html.length }
           if (hrefRaw != null && hrefRaw.nonEmpty) {

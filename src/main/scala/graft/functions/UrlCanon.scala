@@ -133,7 +133,8 @@ object UrlCanon {
     var port = -1
     if (portStr != null) {
       if (portStr.isEmpty) port = -1 // "http://h:/" → treat as no port
-      else if (portStr.forall(_.isDigit) && portStr.length <= 5) port = portStr.toInt
+      else if (portStr.forall(_.isDigit) && portStr.length <= 5 &&
+        portStr.toInt <= 65535) port = portStr.toInt // 65536–99999 is as bad as "abc"
       else return null
     }
     // split tail into path / query / fragment (fragment discarded)
@@ -165,11 +166,33 @@ object UrlCanon {
     scheme match { case "http" => 80; case "https" => 443; case _ => -1 }
 
   /** U2: full canonical form, or null if malformed. */
+  /** Host normalization: percent-normalize (decode unreserved, uppercase the
+    * hex of remaining escapes) then lowercase OUTSIDE escapes, so the hex
+    * digits of a kept %XX stay uppercase per RFC 3986 §6.2.2.1. Without the
+    * decode, "ex%61mple.com" and "example.com" canonicalize to two different
+    * hosts — two surts and two fetches for one page, and a robots-policy
+    * lookup miss for the encoded spelling.
+    */
+  private def canonHost(h: String): String = {
+    val n = normalizePercent(h)
+    if (n.indexOf('%') < 0) n.toLowerCase
+    else {
+      val sb = new java.lang.StringBuilder(n.length)
+      var i = 0
+      while (i < n.length) {
+        val c = n.charAt(i)
+        if (c == '%' && i + 2 < n.length) { sb.append(n, i, i + 3); i += 3 }
+        else { sb.append(Character.toLowerCase(c)); i += 1 }
+      }
+      sb.toString
+    }
+  }
+
   def canonicalize(raw: String): String = {
     val p = parse(raw)
     if (p == null) return null
     val scheme = p.scheme.toLowerCase
-    var host = p.host.toLowerCase
+    var host = canonHost(p.host)
     if (host.endsWith(".") && host.length > 1) host = host.substring(0, host.length - 1)
     val port = if (p.port == defaultPort(scheme)) -1 else p.port
     var path = removeDotSegments(normalizePercent(p.path))

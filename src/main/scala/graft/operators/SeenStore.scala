@@ -196,7 +196,7 @@ object SeenStore {
     // differs, but every attempt's table covers the same key set, so either
     // complete file is correct.)
     val attempt = Option(org.apache.spark.TaskContext.get())
-      .map(_.taskAttemptId.toString)
+      .map(_.taskAttemptId().toString)
       .getOrElse(java.util.UUID.randomUUID.toString)
     val tmp = target.resolveSibling(s".${target.getFileName}.tmp-$attempt")
     Files.write(tmp, bb.array())
@@ -380,21 +380,33 @@ object SeenStore {
     latestMeta(seenDir, prevVersion) match {
       case Some((kind, shape)) if kind == CuckooKind =>
         Files.createDirectories(bloomDir(seenDir, newVersion))
+        // sorted within each partition so rows arrive clustered by bucket:
+        // the task buffers ONE bucket's keys at a time — O(bucket) heap, not
+        // an O(partition) toSeq+groupBy materialization (expiry selections
+        // can be huge: this is the years-of-crawling aging primitive)
         val touched = expired.select(col("host_bucket"), col("url_hash"))
           .repartition(spark.sparkContext.defaultParallelism, col("host_bucket"))
+          .sortWithinPartitions(col("host_bucket"))
         touched.rdd.mapPartitions { it =>
-          val byBucket = it.map(r => (r.getInt(0), r.getLong(1))).toSeq.groupBy(_._1)
-          byBucket.iterator.map { case (bucket, keys) =>
-            resolveBucket(seenDir, prevVersion, bucket).foreach { case (pv, bits) =>
-              val (pk, _) = metaOf(seenDir, pv)
-              if (pk == CuckooKind) {
-                val copy = bits.clone()
-                keys.foreach { case (_, k) => Cuckoo64.delete(copy, k) }
-                writeBucket(seenDir, newVersion, bucket, copy)
+          val rows = it.buffered
+          new Iterator[Int] {
+            def hasNext: Boolean = rows.hasNext
+            def next(): Int = {
+              val bucket = rows.head.getInt(0)
+              val keys = scala.collection.mutable.ArrayBuffer.empty[Long]
+              while (rows.hasNext && rows.head.getInt(0) == bucket)
+                keys += rows.next().getLong(1)
+              resolveBucket(seenDir, prevVersion, bucket).foreach { case (pv, bits) =>
+                val (pk, _) = metaOf(seenDir, pv)
+                if (pk == CuckooKind) {
+                  val copy = bits.clone()
+                  keys.foreach(k => Cuckoo64.delete(copy, k))
+                  writeBucket(seenDir, newVersion, bucket, copy)
+                }
+                // non-cuckoo legacy bucket: leave it — stale positives are safe
               }
-              // non-cuckoo legacy bucket: leave it — stale positives are safe
+              bucket
             }
-            bucket
           }
         }.count()
         cleanOrphanTmps(seenDir, newVersion)

@@ -76,6 +76,11 @@ object SeedInjector {
         lit(1.0).as("score"),
         lit(0L).as("discovered_round"),
         lit("").as("parent_surt"))
+      // four consumers below (count, frontier commit, seen write, sidecar
+      // build) would each re-run the canonicalize → robots → dedup pipeline
+      // over the seed list without this — at a multi-million-URL real seed
+      // list that is 4× the UDF and shuffle cost
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val n = frontier0.count()
     StateTable.commit(frontier0, CrawlRound.frontierDir(stateDir), 0L, 0L, Map("seeds" -> n),
@@ -96,6 +101,7 @@ object SeedInjector {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.hostState)
     StateTable.commit(emptyHost, CrawlRound.hostStateDir(stateDir), 0L, 0L,
       partitioned = false)
+    frontier0.unpersist()
     n
   }
 }
@@ -119,6 +125,46 @@ object Resume {
       Some((core.flatten :+ fetchV).min)
     }
   }
+
+  /** Manifest counter keys only maintenance commits (Recrawl) write; their
+    * presence at a version identifies WHICH operation began committing it.
+    */
+  val MaintenanceMarkers: Set[String] = Set("refetch_scheduled", "expired")
+
+  /** Counter keys of the first table found already committed at `v` (None =
+    * no table has committed v yet). Crawl rounds and maintenance operations
+    * both claim version lastComplete+1, and per-table idempotent replay is
+    * only sound when the SAME deterministic writer re-runs the version — a
+    * different operation completing a half-committed version would publish a
+    * chimera mixing two operations' tables (e.g. a frontier whose refetch
+    * rows' seen-side effects never committed, breaking frontier ⊆ seen and
+    * O1's no-ties guarantee). Writers call this before committing and refuse
+    * to complete a version another operation kind began.
+    */
+  def partialCommitMarkers(stateDir: String, v: Long): Option[Set[String]] =
+    Seq(
+      CrawlRound.frontierDir(stateDir), CrawlRound.seenDir(stateDir),
+      CrawlRound.hostStateDir(stateDir), CrawlRound.fetchLogDir(stateDir))
+      .flatMap(d => StateTable.alreadyCommitted(d, v))
+      .headOption.map(_.counters.keySet)
+
+  /** Throw unless the half-committed version `v` (if any) was begun by the
+    * operation whose marker is `expect` (None = a crawl round: no
+    * maintenance marker may be present).
+    */
+  def requireSameWriter(stateDir: String, v: Long, expect: Option[String]): Unit =
+    partialCommitMarkers(stateDir, v).foreach { ks =>
+      val began = ks.intersect(MaintenanceMarkers)
+      val ok = expect match {
+        case Some(marker) => began == Set(marker)
+        case None => began.isEmpty
+      }
+      if (!ok) throw new IllegalStateException(
+        s"version $v is partially committed by ${
+          if (began.isEmpty) "a crawl round" else s"a maintenance operation ($began)"
+        }; re-run that same operation (same selector) to complete it first — " +
+        "completing it as a different operation would publish a chimera version")
+    }
 }
 
 object Crawler {
@@ -139,6 +185,9 @@ object Crawler {
         SeedInjector.run(spark, stateDir, seeds, robots, cfg)
         0L
     }
+    // a half-committed version begun by a MAINTENANCE op must be completed
+    // by re-running that op, not silently absorbed into a crawl round
+    Resume.requireSameWriter(stateDir, startV + 1, expect = None)
     ((startV + 1) to targetRounds.toLong).map { r =>
       CrawlRound.run(spark, stateDir, pages, robots, cfg, r)
     }
@@ -166,8 +215,11 @@ object Crawler {
       robotsBc.value.get(host).forall(_.allows(path)))
     val admitted = frontier
       .select("surt", "url", "host", "host_bucket", "depth", "score")
+    // inner, not an outer+null-filter: unlike CrawlRound.fetchJoin (whose
+    // outer arm preserves 404 rows) the probe keeps hits only, and Catalyst's
+    // EliminateOuterJoin would rewrite the outer form to this anyway
     pages.select(col("url"), col("html"))
-      .join(admitted.hint("merge"), Seq("url"), "right_outer")
+      .join(admitted.hint("merge"), Seq("url"), "inner")
       .where(col("html").isNotNull)
       .select(
         col("surt").as("parent_surt"), col("url").as("base_url"),

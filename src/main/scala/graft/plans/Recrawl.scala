@@ -62,6 +62,9 @@ object Recrawl {
     val prevV = Resume.lastCompleteVersion(stateDir)
       .getOrElse(throw new IllegalStateException(s"no committed crawl state in $stateDir"))
     val version = prevV + 1
+    // refuse to complete a version a crashed ROUND (or the other maintenance
+    // op) began — only an identical re-run may finish it (see Resume doc)
+    Resume.requireSameWriter(stateDir, version, expect = Some("refetch_scheduled"))
     val frontier = CrawlRound.readFrontier(spark, stateDir, Some(prevV),
       broadcastMaxDels = cfg.exactAntiBroadcastMaxRows)
     // newest fetch per surt supplies (url, host); depth 0 + seed score put
@@ -116,6 +119,7 @@ object Recrawl {
     val prevV = Resume.lastCompleteVersion(stateDir)
       .getOrElse(throw new IllegalStateException(s"no committed crawl state in $stateDir"))
     val version = prevV + 1
+    Resume.requireSameWriter(stateDir, version, expect = Some("expired"))
     val frontier = CrawlRound.readFrontier(spark, stateDir, Some(prevV),
       broadcastMaxDels = cfg.exactAntiBroadcastMaxRows)
     val seen = StateTable.readAppendedMerged(

@@ -263,7 +263,14 @@ object StateTable {
       keyCol: String,
       broadcastMaxDels: Long): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
-    val delVs = vs.filter(dv => hasDataFiles(delPath(dir, dv)))
+    // del-carrying versions come from the COMMITTED manifests (DelsCounter),
+    // never from directory listing: a dels-<v> dir left by a crashed,
+    // never-finalized commit is an orphan, and applying it would delete live
+    // rows with tombstones no manifest accounts for (the broadcast gate
+    // below is manifest-counted and would see 0 for them). Orphans stay
+    // inert until a later commit at v overwrites them or GC removes them.
+    val delVs = vs.filter(dv =>
+      manifest(dir, dv).exists(_.counters.getOrElse(DelsCounter, 0L) > 0L))
     if (delVs.isEmpty) readPaths(spark, vs.map(snapPath(dir, _)), schema)
     else {
       val maxDel = delVs.max

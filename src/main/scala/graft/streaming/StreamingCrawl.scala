@@ -77,32 +77,55 @@ object StreamingCrawl {
   final case class BucketState(tokens: Double, lastRound: Long)
   final case class Admission(host: String, round: Long, admitted: Int, tokensLeft: Double)
 
+  /** ONE shared refill/admit fold — the cross-engine politeness arithmetic
+    * (T1). All three streaming twins and the batch demo go through here so
+    * the burst/refill semantics cannot drift between copies (they are a
+    * cross-engine equivalence contract with the batch engine). A host with
+    * no prior state starts from `initialTokens` with lastRound =
+    * firstRound − 1, exactly the batch engine's coalesce defaults
+    * (CrawlRound's admit arithmetic over host_state). Rows need not be
+    * pre-sorted; admissions come out in round order.
+    */
+  private def admitRounds(
+      host: String,
+      rows: Seq[HostReq],
+      prior: Option[BucketState],
+      burst: Double,
+      delayRounds: Double,
+      initialTokens: Double): (Seq[Admission], BucketState) = {
+    val s0 = prior.getOrElse(
+      BucketState(initialTokens, rows.iterator.map(_.round).min - 1))
+    var tokens = s0.tokens
+    var last = s0.lastRound
+    val out = rows.groupBy(_.round).toSeq.sortBy(_._1).map { case (round, rs) =>
+      tokens = math.min(burst, tokens + (round - last) / delayRounds)
+      last = round
+      val admitted = math.min(rs.size, math.floor(tokens).toInt)
+      tokens -= admitted
+      Admission(host, round, admitted, tokens)
+    }
+    (out, BucketState(tokens, last))
+  }
+
   /** The T1 refill arithmetic as keyed streaming state: for each micro-batch
     * of per-host fetch requests, refill lazily from the stored state, admit
-    * up to ⌊tokens⌋, carry the remainder in GroupState. Burst/delay match the
-    * batch engine so both paths admit identically on identical inputs.
+    * up to ⌊tokens⌋, carry the remainder in GroupState. Burst/delay/initial
+    * tokens match the batch engine so both paths admit identically on
+    * identical inputs (pass cfg.initialTokens when it is not the default).
     */
   def tokenBucket(
       reqs: Dataset[HostReq],
       burst: Double,
-      delayRounds: Double): Dataset[Admission] = {
+      delayRounds: Double,
+      initialTokens: Double = 1.0): Dataset[Admission] = {
     import reqs.sparkSession.implicits._
     reqs.groupByKey(_.host)
       .flatMapGroupsWithState[BucketState, Admission](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (host, rows, state: GroupState[BucketState]) =>
-          val sorted = rows.toSeq.sortBy(_.round)
-          val s0 = state.getOption.getOrElse(BucketState(1.0, sorted.headOption.map(_.round - 1).getOrElse(0L)))
-          var tokens = s0.tokens
-          var last = s0.lastRound
-          val out = sorted.groupBy(_.round).toSeq.sortBy(_._1).map { case (round, rs) =>
-            tokens = math.min(burst, tokens + (round - last) / delayRounds)
-            last = round
-            val admitted = math.min(rs.size, math.floor(tokens).toInt)
-            tokens -= admitted
-            Admission(host, round, admitted, tokens)
-          }
-          state.update(BucketState(tokens, last))
+          val (out, next) = admitRounds(
+            host, rows.toSeq, state.getOption, burst, delayRounds, initialTokens)
+          state.update(next)
           out.iterator
       }
   }
@@ -112,7 +135,8 @@ object StreamingCrawl {
     * state store) — typed ValueState per host, exactly the batch T1 refill.
     * The flatMapGroupsWithState twin above remains as the fallback path.
     */
-  class TokenBucketProcessor(burst: Double, delayRounds: Double)
+  class TokenBucketProcessor(burst: Double, delayRounds: Double,
+      initialTokens: Double = 1.0)
       extends StatefulProcessor[String, HostReq, Admission] {
     @transient private var state: ValueState[BucketState] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -120,19 +144,9 @@ object StreamingCrawl {
         "bucket", Encoders.product[BucketState], TTLConfig.NONE)
     override def handleInputRows(
         host: String, rows: Iterator[HostReq], timerValues: TimerValues): Iterator[Admission] = {
-      val sorted = rows.toSeq.sortBy(_.round)
-      val s0 = Option(state.get()).getOrElse(
-        BucketState(1.0, sorted.headOption.map(_.round - 1).getOrElse(0L)))
-      var tokens = s0.tokens
-      var last = s0.lastRound
-      val out = sorted.groupBy(_.round).toSeq.sortBy(_._1).map { case (round, rs) =>
-        tokens = math.min(burst, tokens + (round - last) / delayRounds)
-        last = round
-        val admitted = math.min(rs.size, math.floor(tokens).toInt)
-        tokens -= admitted
-        Admission(host, round, admitted, tokens)
-      }
-      state.update(BucketState(tokens, last))
+      val (out, next) = admitRounds(
+        host, rows.toSeq, Option(state.get()), burst, delayRounds, initialTokens)
+      state.update(next)
       out.iterator
     }
   }
@@ -145,30 +159,23 @@ object StreamingCrawl {
   def tokenBucketTws(
       reqs: Dataset[HostReq],
       burst: Double,
-      delayRounds: Double): Dataset[Admission] = {
+      delayRounds: Double,
+      initialTokens: Double = 1.0): Dataset[Admission] = {
     import reqs.sparkSession.implicits._
     reqs.groupByKey(_.host)
       .transformWithState(
-        new TokenBucketProcessor(burst, delayRounds), TimeMode.None(), OutputMode.Append())
+        new TokenBucketProcessor(burst, delayRounds, initialTokens),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Drive the ST3 bucket over a memory-stream-free path: batch Dataset in,
-    * streaming semantics exercised via the same flatMapGroupsWithState
-    * function applied per (host) group — used by tests and demos.
+    * streaming semantics exercised via the same shared fold applied per
+    * (host) group — used by tests and demos.
     */
   def tokenBucketBatch(spark: SparkSession, reqs: Seq[HostReq],
-      burst: Double = 2.0, delayRounds: Double = 1.0): Seq[Admission] = {
-    // batch twin of the streaming state function (same arithmetic, no state store)
+      burst: Double = 2.0, delayRounds: Double = 1.0,
+      initialTokens: Double = 1.0): Seq[Admission] =
     reqs.groupBy(_.host).toSeq.flatMap { case (host, rows) =>
-      var tokens = 1.0
-      var last = rows.map(_.round).min - 1
-      rows.groupBy(_.round).toSeq.sortBy(_._1).map { case (round, rs) =>
-        tokens = math.min(burst, tokens + (round - last) / delayRounds)
-        last = round
-        val admitted = math.min(rs.size, math.floor(tokens).toInt)
-        tokens -= admitted
-        Admission(host, round, admitted, tokens)
-      }
+      admitRounds(host, rows, None, burst, delayRounds, initialTokens)._1
     }
-  }
 }

@@ -108,6 +108,25 @@ class RecrawlSpec extends AnyFunSuite with SparkTestSession {
     assert(f2.size == f2.distinct.size, "re-discovery duplicated a frontier surt")
   }
 
+  test("a half-committed version is completed only by the operation that began it") {
+    val dir = tmpDir("crawl-chimera")
+    Crawler.crawl(spark, dir, pages, robots, seeds, cfg, 2)
+    // simulate an expireSeen that crashed after publishing ONE table at v3:
+    // per-table idempotent replay is only sound for the SAME deterministic
+    // writer, so every other operation must refuse to claim version 3
+    StateTable.finalizeCommit(CrawlRound.hostStateDir(dir), 3L, 3L, 0L, Map("expired" -> 5L))
+    val e = intercept[IllegalStateException] {
+      Crawler.crawl(spark, dir, pages, robots, seeds, cfg, 4)
+    }
+    assert(e.getMessage.contains("maintenance"))
+    val e2 = intercept[IllegalStateException] {
+      Recrawl.scheduleRefetch(spark, dir, cfg, Seq("x").toDF("surt"))
+    }
+    assert(e2.getMessage.contains("expired"))
+    // the same operation passes the guard and may complete the version
+    assert(Recrawl.expireSeen(spark, dir, cfg, Seq.empty[String].toDF("surt")) == 0L)
+  }
+
   test("retention GC keeps the base a retained maintenance delta reads through (full-commit mode)") {
     val cfgF = cfg.copy(frontierDeltaCommits = false, retentionVersions = 2)
     val dir = tmpDir("crawl-gc-maint")

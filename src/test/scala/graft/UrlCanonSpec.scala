@@ -15,6 +15,10 @@ class UrlCanonSpec extends AnyFunSuite with SeededProps {
     "http://example.com:80/a" -> "http://example.com/a",
     "https://example.com:443/" -> "https://example.com/",
     "http://example.com:8080/x" -> "http://example.com:8080/x",
+    // §6.2.2 applies to the HOST too: decode unreserved escapes (then
+    // lowercase), uppercase the hex of kept reserved ones
+    "http://EX%61MPLE.com/" -> "http://example.com/",
+    "http://ex%2fample.com/" -> "http://ex%2Fample.com/",
     "http://example.com/%7Euser/" -> "http://example.com/~user/",
     "http://example.com/a%2Fb" -> "http://example.com/a%2Fb",
     "http://example.com/a%2fb" -> "http://example.com/a%2Fb",
@@ -46,9 +50,12 @@ class UrlCanonSpec extends AnyFunSuite with SeededProps {
 
   test("U2 malformed → null") {
     Seq("notaurl", "http:///path", "http://", "", "://x", "mailto:a@b",
-      "http://ex:notaport/", "1http://x/").foreach { in =>
+      "http://ex:notaport/", "1http://x/",
+      "http://ex:65536/", "http://ex:99999/x").foreach { in =>
       assert(UrlCanon.canonicalize(in) == null, s"canon($in) should be null")
     }
+    // the top of the valid port range stays valid
+    assert(UrlCanon.canonicalize("http://ex.com:65535/") == "http://ex.com:65535/")
   }
 
   test("P1 property: canon is idempotent") {

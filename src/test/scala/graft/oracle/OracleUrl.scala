@@ -65,7 +65,8 @@ object OracleUrl {
       val port = portRaw match {
         case None => -1
         case Some("") => -1
-        case Some(ps) if ps.forall(_.isDigit) && ps.length <= 5 => ps.toInt
+        case Some(ps) if ps.forall(_.isDigit) && ps.length <= 5 && ps.toInt <= 65535 =>
+          ps.toInt
         case _ => return None
       }
       val noFrag = tail.split("#", 2)(0)
@@ -80,7 +81,19 @@ object OracleUrl {
     if (raw == null) return None
     split(raw).map { p =>
       val scheme = p.scheme.toLowerCase
-      val host0 = p.host.toLowerCase
+      // §6.2.2.1 for the host too: decode unreserved escapes, keep the hex
+      // of remaining ones uppercase, lowercase everything outside escapes
+      val hostN = pctNorm(p.host)
+      val host0 = {
+        val out = new StringBuilder(hostN.length)
+        var i = 0
+        while (i < hostN.length) {
+          if (hostN(i) == '%' && i + 2 < hostN.length) {
+            out ++= hostN.substring(i, i + 3); i += 3
+          } else { out += hostN(i).toLower; i += 1 }
+        }
+        out.toString
+      }
       val host = if (host0.endsWith(".") && host0.length > 1) host0.dropRight(1) else host0
       val port = if (p.port == defPort(scheme)) -1 else p.port
       val path0 = removeDots(pctNorm(p.path))
