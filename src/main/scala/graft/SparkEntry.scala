@@ -1106,13 +1106,13 @@ object SparkEntry {
 
     "q_text_quality" -> ("""
       SELECT doc_id,
-             cast(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens_ws,
+             cast(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens_ws,
              cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_bpe,
              round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) /
                    greatest(length(text), 1), 6) AS punct_ratio,
              round(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
                    t -> t IN ('the','a','an','of','to','in','and','or','is','are','on','for','with','by','at','from'))) /
-                   greatest(len(regexp_split_to_array(lower(text), '\s+')), 1)::DOUBLE, 6) AS stopword_ratio
+                   greatest(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')), 1)::DOUBLE, 6) AS stopword_ratio
       FROM documents ORDER BY doc_id"""))
 
 }

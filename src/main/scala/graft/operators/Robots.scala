@@ -32,6 +32,12 @@ object Robots {
   def parse(host: String, robotsTxt: String, defaultDelayRounds: Double): RobotsPolicy = {
     var inStar = false
     var sawAnyAgent = false
+    // RFC 9309 §2.2.1: CONSECUTIVE User-agent lines stack into one group's
+    // start-line set ("User-agent: *\nUser-agent: FooBot\nDisallow: /x"
+    // applies to * too); a User-agent line after a rule line starts a NEW
+    // group. Without the stacking, the second UA line silently dropped the
+    // whole group for * — a robots-compliance violation on a common pattern.
+    var prevWasAgent = false
     val dis = Seq.newBuilder[String]
     val allow = Seq.newBuilder[String]
     var delay = defaultDelayRounds
@@ -43,17 +49,27 @@ object Robots {
         val value = line.substring(ci + 1).trim
         key match {
           case "user-agent" =>
-            inStar = value == "*"
+            inStar = (prevWasAgent && inStar) || value == "*"
             sawAnyAgent = true
           case "disallow" if inStar || !sawAnyAgent =>
             if (value.nonEmpty) dis += value
           case "allow" if inStar || !sawAnyAgent =>
             if (value.nonEmpty) allow += value
           case "crawl-delay" if inStar || !sawAnyAgent =>
-            try { delay = value.toDouble } catch { case _: NumberFormatException => () }
+            // reject non-finite and non-positive delays: the engine divides
+            // by this value in the token refill, so "Crawl-delay: -1" would
+            // drain tokens every round and starve the host forever, and NaN
+            // would poison the persisted host_state arithmetic
+            try {
+              val d = value.toDouble
+              if (java.lang.Double.isFinite(d) && d > 0) delay = d
+            } catch { case _: NumberFormatException => () }
           case _ => ()
         }
+        prevWasAgent = key == "user-agent"
       }
+      // blank / non-directive lines do not break a User-agent run (RFC 9309
+      // ignores them inside a group)
     }
     RobotsPolicy(host, dis.result(), allow.result(), delay)
   }

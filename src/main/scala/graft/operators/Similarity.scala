@@ -25,7 +25,11 @@ object Similarity {
         dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
         i += 1
       }
-      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+      val c = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+      // a corrupt embedding (NaN component) must rank LAST, not first: Spark
+      // orders NaN above every double, so an unguarded NaN would sit at the
+      // top of every desc top-k that scans it. -1 = worst possible cosine.
+      if (java.lang.Double.isNaN(c)) -1.0 else c
     }
   })
 

@@ -18,8 +18,11 @@ object SkewJoin {
   /** A5: keys whose frequency exceeds `factor` × mean frequency. */
   def hotKeys(df: DataFrame, key: String, factor: Double = 4.0): DataFrame = {
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
-    val mean = counts.agg(avg(col("n"))).head().getDouble(0)
-    counts.where(col("n") > mean * factor).select(col(key))
+    // avg over zero rows is null — an empty input simply has no hot keys
+    // (getDouble on the null would NPE)
+    val meanRow = counts.agg(avg(col("n"))).head()
+    if (meanRow.isNullAt(0)) counts.select(col(key)).limit(0)
+    else counts.where(col("n") > meanRow.getDouble(0) * factor).select(col(key))
   }
 
   /** Inner equi-join of `big` (skewed) with `small` on `key`, salting the hot
@@ -33,8 +36,21 @@ object SkewJoin {
       key: String,
       rowId: String,
       salt: Int = 8,
-      hotFactor: Double = 4.0): DataFrame = {
-    val hot = hotKeys(big, key, hotFactor).withColumn("__is_hot", lit(true))
+      hotFactor: Double = 4.0,
+      maxHotKeys: Int = 10000): DataFrame = {
+    // materialize the hot-key set ONCE: hot keys are few by construction
+    // (freq > factor × mean bounds them under n/(factor·mean)), and leaving
+    // `hot` lazy recomputed the full groupBy-count over the skewed side
+    // inside EACH of the two broadcast builds below (3 full aggregations per
+    // call). The cap bounds the driver copy on adversarial distributions —
+    // keys past it just stay on the cold (unsalted) path, where AQE's
+    // runtime skew split remains the backstop; output rows are identical
+    // either way.
+    val spark = big.sparkSession
+    val hkDf = hotKeys(big, key, hotFactor).limit(maxHotKeys)
+    val hot = spark.createDataFrame(
+        spark.sparkContext.parallelize(hkDf.collect().toSeq, 1), hkDf.schema)
+      .withColumn("__is_hot", lit(true))
 
     val bigTagged = big.join(broadcast(hot), Seq(key), "left")
     val bigHot = bigTagged.where(col("__is_hot")).drop("__is_hot")

@@ -16,9 +16,13 @@ object TextAnalysis {
 
   // --- token counting ---
 
-  /** Whitespace token count — pure Catalyst, codegen'd. */
+  /** Whitespace token count — pure Catalyst, codegen'd. Empty elements are
+    * dropped: split on leading whitespace emits a "" head ("  the cat" would
+    * count 3, and "" would count 1 token), which inflated the count and
+    * skewed stopword_ratio's denominator.
+    */
   def tokenCountWs(text: Column): Column =
-    size(split(text, "\\s+"))
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
 
   /** BPE-ish token estimate: letter runs, digit runs, and single symbols
     * each count as one token — pure Catalyst via regexp_extract_all.
@@ -40,7 +44,8 @@ object TextAnalysis {
     Seq("the", "a", "an", "of", "to", "in", "and", "or", "is", "are", "on", "for", "with", "by", "at", "from")
 
   def stopwordRatio(text: Column, stopwords: Seq[String] = enStop): Column = {
-    val toks = split(lower(text), "\\s+")
+    // same empty-token drop as tokenCountWs so the denominator counts words
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
     round(size(filter(toks, t => t.isin(stopwords.map(lit): _*))) /
       greatest(size(toks), lit(1)).cast("double"), 6)
   }
@@ -83,9 +88,11 @@ object TextAnalysis {
 
   // --- document fingerprinting (rolling hash / winnowing-lite) ---
 
-  /** Rabin-Karp rolling hash over token windows of size w; the document
-    * fingerprint is the MINIMUM window hash (min-sampling — stable under
-    * content reordering-free edits far from the minimum).
+  /** Polynomial window hash over token windows of size w (the shared
+    * [[TextDedup.windowHash]] kernel — NOT a rolling Rabin-Karp: the
+    * mix-finalized recipe is not rollable, and w is a small constant, so
+    * each window is recomputed); the document fingerprint is the MINIMUM
+    * window hash (min-sampling — stable under edits far from the minimum).
     */
   val fingerprintUdf = udf((text: String, w: Int) => {
     if (text == null) 0L
@@ -97,10 +104,7 @@ object TextAnalysis {
         var min = Long.MaxValue
         var i = 0
         while (i + w <= toks.length) {
-          var h = 1125899906842597L
-          var j = i
-          while (j < i + w) { h = h * 31 + toks(j).hashCode; j += 1 }
-          val m = Bloom64.mix(h)
+          val m = TextDedup.windowHash(toks, i, w)
           if (m < min) min = m
           i += 1
         }

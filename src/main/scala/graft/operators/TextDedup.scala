@@ -27,18 +27,26 @@ object TextDedup {
 
   // --- shingling + MinHash ---
 
+  /** Polynomial hash of the token window `[i, i+k)` — the ONE window-hash
+    * kernel, shared with [[TextAnalysis.fingerprintUdf]] so the two cannot
+    * drift (they must agree for fingerprints to be comparable with shingle
+    * space). w is small and constant, so the per-window recompute is a
+    * bounded factor, not an asymptotic term.
+    */
+  private[operators] def windowHash(toks: Array[String], i: Int, k: Int): Long = {
+    var h = 1125899906842597L
+    var j = i
+    while (j < i + k) { h = h * 31 + toks(j).hashCode; j += 1 }
+    Bloom64.mix(h)
+  }
+
   /** Word k-shingles as hashed Longs (dedup'd per doc). */
   val shinglesUdf = udf((text: String, k: Int) => {
     if (text == null) Array.empty[Long]
     else {
       val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
       if (toks.length < k) Array(Bloom64.mix(toks.mkString(" ").hashCode.toLong))
-      else (0 to toks.length - k).map { i =>
-        var h = 1125899906842597L
-        var j = i
-        while (j < i + k) { h = h * 31 + toks(j).hashCode; j += 1 }
-        Bloom64.mix(h)
-      }.distinct.toArray
+      else (0 to toks.length - k).map(windowHash(toks, _, k)).distinct.toArray
     }
   })
 
@@ -101,6 +109,11 @@ object TextDedup {
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, m: Int = 64, bands: Int = 16,
       maxBucket: Int = 10000): DataFrame = {
+    // fail loudly, not with silent zero recall: bands > m gives rows = 0
+    // (every band hash a constant → one giant dropped bucket → no pairs),
+    // and m % bands != 0 silently ignores the tail signature entries
+    require(bands >= 1 && bands <= m && m % bands == 0,
+      s"bands=$bands must divide m=$m")
     val rows = m / bands
     val banded = docs
       .select(col(idCol).as("id"), shinglesUdf(col(textCol), lit(k)).as("sh"))

@@ -142,6 +142,31 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestSession {
     assert(byUrlGen == byUrlUdf)
   }
 
+  test("X1 generator ≡ UDF on non-byte-route pages (U+0130 tags, invalid UTF-8)") {
+    import spark.implicits._
+    // İ (U+0130) lowercases to ASCII 'i': the CHAR route sees <scrİpt> as a
+    // script block and drops its links; the raw byte kernel would not — the
+    // generator must take the same guarded route as the UDF it is pinned to
+    val adversarial: Seq[Array[Byte]] = Seq(
+      "<scrİpt><a href='/x'>x</a></scrİpt><a href='/y'>y</a>"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      Array[Byte](0x3c, 0x61, 0x20, 0x68, 0x72, 0x65, 0x66, 0x3d, 0x27, 0x2f,
+        0x7a, 0x27, 0x3e, 0xC3.toByte, 0x28, 0x3c, 0x2f, 0x61, 0x3e)) // bad UTF-8 anchor
+    val df = adversarial.zipWithIndex.map { case (b, i) => (s"u$i", b) }.toDF("url", "html")
+    df.createOrReplaceTempView("pages_adv")
+    val gen = spark.sql(
+      """SELECT url, l.href AS href, l.anchor AS anchor
+        |FROM pages_adv LATERAL VIEW extract_links_gen(html) l AS href, anchor""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted.toSeq
+    val viaUdf = df.select(col("url"),
+        explode(UrlFunctions.extractLinksUdf(col("html"))).as("lk"))
+      .select(col("url"), col("lk.href"), col("lk.anchor"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(gen == viaUdf, "generator diverges from the frozen X1 char semantics")
+    assert(viaUdf.exists(_._2 == "/y") && !viaUdf.exists(_._2 == "/x"),
+      "char semantics must drop links inside the case-folded script block")
+  }
+
   test("X1 generator: Column API, empty html and zero-link pages emit nothing") {
     import spark.implicits._
     import graft.functions.CanonExpressions.extractLinksGenCol

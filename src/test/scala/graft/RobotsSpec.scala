@@ -27,6 +27,23 @@ class RobotsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("RFC 9309 group stacking: consecutive UA lines share rules; bad delays rejected") {
+    // a common real-world pattern: * stacked with a named agent in one group
+    val stacked = "User-agent: *\nUser-agent: AdsBot-Google\nDisallow: /checkout\n"
+    val p = Robots.parse("a.ex", stacked, 1.0)
+    assert(p.disallow == Seq("/checkout"), "stacked * group must keep its rules")
+    // a UA line AFTER rules starts a NEW group — its rules must not leak to *
+    val twoGroups = "User-agent: *\nDisallow: /a\nUser-agent: FooBot\nDisallow: /b\n"
+    val p2 = Robots.parse("a.ex", twoGroups, 1.0)
+    assert(p2.disallow == Seq("/a"), "a post-rule UA line must close the * group")
+    // non-finite / non-positive crawl delays fall back to the default (the
+    // engine divides by this value: -1 would starve the host forever)
+    for (bad <- Seq("-1", "0", "NaN", "Infinity"))
+      assert(Robots.parse("a.ex", s"User-agent: *\nCrawl-delay: $bad\n", 1.5).crawlDelayRounds == 1.5,
+        s"delay '$bad' must be rejected")
+    assert(Robots.parse("a.ex", "User-agent: *\nCrawl-delay: 2.5\n", 1.5).crawlDelayRounds == 2.5)
+  }
+
   test("policy table rows ≡ driver-parsed policies; decide ≡ allows") {
     val cfg = CrawlConfig()
     val viaTable = Robots.policiesTable(robotsDf, cfg).collect().map { r =>

@@ -42,6 +42,12 @@ class SkewJoinSpec extends AnyFunSuite with SparkTestSession {
     assert(out.count() == 100)
   }
 
+  test("J5 on an EMPTY big side returns empty (no NPE from the null mean)") {
+    val empty = big.limit(0)
+    assert(SkewJoin.hotKeys(empty, "host").count() == 0)
+    assert(SkewJoin.saltedJoin(empty, small, "host", "url", salt = 4).count() == 0)
+  }
+
   test("hot partition sizes are actually split by the salt") {
     val hot = SkewJoin.hotKeys(big, "host").as[String].collect().toSet
     val salted = big.where(col("host").isin(hot.toSeq: _*))

@@ -32,6 +32,7 @@ object OracleCrawler {
   def parseRobots(txt: String, defaultDelay: Double): Policy = {
     var inStar = false
     var sawAgent = false
+    var prevAgent = false // RFC 9309 §2.2.1: consecutive UA lines stack
     val dis = Seq.newBuilder[String]; val al = Seq.newBuilder[String]
     var delay = defaultDelay
     txt.linesIterator.foreach { raw =>
@@ -40,13 +41,17 @@ object OracleCrawler {
         case Array(k, v) =>
           val key = k.trim.toLowerCase; val value = v.trim
           key match {
-            case "user-agent" => inStar = value == "*"; sawAgent = true
+            case "user-agent" =>
+              inStar = (prevAgent && inStar) || value == "*"; sawAgent = true
             case "disallow" if (inStar || !sawAgent) && value.nonEmpty => dis += value
             case "allow" if (inStar || !sawAgent) && value.nonEmpty => al += value
             case "crawl-delay" if inStar || !sawAgent =>
-              value.toDoubleOption.foreach(d => delay = d)
+              value.toDoubleOption
+                .filter(d => java.lang.Double.isFinite(d) && d > 0)
+                .foreach(d => delay = d)
             case _ => ()
           }
+          prevAgent = key == "user-agent"
         case _ => ()
       }
     }
