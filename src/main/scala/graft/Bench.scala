@@ -200,7 +200,10 @@ object Bench {
     (times, errors.toMap)
   }
 
-  private def jsonEsc(s: String): String = s.flatMap {
+  /** JSON string escape (no surrounding quotes) — THE one escaper, shared
+    * with [[Verify]] so the two driver artifacts cannot drift.
+    */
+  private[graft] def jsonEsc(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"
@@ -510,8 +513,8 @@ object Bench {
            |distributed plan (rank → fetch join → extract → canonicalize →
            |dedup+OPIC as one Catalyst plan): that is the portion a cluster
            |scales, measured here at $pct%d%% of the corpus as the frontier
-           |(median across interleaved forked JVMs; best-of-2 reps within
-           |each).
+           |(per-width MAX over interleaved forked JVMs — the same estimator
+           |as the table above; best-of-N reps within each fork).
            |
            |Protocol notes: one JVM hosts all local[N] "executors",
            |so the collector and heap are part of the measurement — defaults

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -106,7 +106,11 @@ object CanonKernel {
   * into this node.
   */
 case class ResolveCanonSurt(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  // fail at ANALYSIS on a mistyped column, not with a mid-job executor
+  // ClassCastException after real work is done (same fast-fail discipline
+  // as ExtractLinksGen.checkInputDataTypes)
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
   override def dataType: DataType = CanonKernel.canonPartsType
   override def nullable: Boolean = true
   override def prettyName: String = "resolve_canon_surt"
@@ -133,7 +137,8 @@ case class ResolveCanonSurt(left: Expression, right: Expression)
 }
 
 /** RFC 3986 canonical form of a raw URL (null if unparseable). */
-case class CanonUrl(child: Expression) extends UnaryExpression {
+case class CanonUrl(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "canon_url_expr"
@@ -150,7 +155,8 @@ case class CanonUrl(child: Expression) extends UnaryExpression {
 }
 
 /** SURT form of a raw URL (null if unparseable). */
-case class SurtOf(child: Expression) extends UnaryExpression {
+case class SurtOf(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "surt_expr"
@@ -167,7 +173,8 @@ case class SurtOf(child: Expression) extends UnaryExpression {
 }
 
 /** Fused page scan: one UTF-8 decode → (links array, extracted text). */
-case class PageScan(child: Expression) extends UnaryExpression {
+case class PageScan(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = CanonKernel.pageScanType
   override def nullable: Boolean = true
   override def prettyName: String = "page_scan"
@@ -184,7 +191,8 @@ case class PageScan(child: Expression) extends UnaryExpression {
 }
 
 /** Fused page scan for the crawl hot path: links + xxhash64(text). */
-case class PageScanHash(child: Expression) extends UnaryExpression {
+case class PageScanHash(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = CanonKernel.pageScanHashedType
   override def nullable: Boolean = true
   override def prettyName: String = "page_scan_hash"

@@ -41,7 +41,10 @@ case class ExtractLinksGen(child: Expression)
     StructField("href", StringType, nullable = false),
     StructField("anchor", StringType, nullable = false)))
 
-  override def prettyName: String = "extract_links"
+  // the SQL registration name — NOT "extract_links", which names the
+  // coexisting array-returning scalar UDF; plans and type errors must point
+  // at the function the user actually called
+  override def prettyName: String = "extract_links_gen"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess

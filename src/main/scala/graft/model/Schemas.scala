@@ -78,10 +78,8 @@ object RobotsPolicy {
     var i = 0
     if (disallow != null) while (i < disallow.length) {
       val p = disallow(i)
-      if (path.startsWith(p) && (p.length > bestLen || (p.length == bestLen && !bestAllow))) {
-        // disallow only wins strictly-longer matches (tie → allow)
-        if (p.length > bestLen) { bestLen = p.length; bestAllow = false }
-      }
+      // disallow only wins strictly-longer matches (tie → allow)
+      if (path.startsWith(p) && p.length > bestLen) { bestLen = p.length; bestAllow = false }
       i += 1
     }
     i = 0
