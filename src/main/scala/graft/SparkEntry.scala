@@ -22,6 +22,51 @@ object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
+  /** Distinct word-trigram shingles per document (string form — the exact
+    * shape the DuckDB oracles mirror): lowercase, whitespace-split, empties
+    * dropped, windows of 3 joined by one space. ONE builder shared by the
+    * jaccard / minhash-verify / clusters queries so a shingle-semantics
+    * change cannot silently diverge their oracled pins.
+    */
+  private def trigramShingles(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= lit(""))
+    docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(0), greatest(size(col("toks")) - 3, lit(0))),
+        i => array_join(slice(col("toks"), i + lit(1), lit(3)), " "))).as("sh"))
+  }
+
+  /** Verified near-dup candidate pairs: MinHash-LSH candidates (b=32/r=2 —
+    * recall 1.0 at threshold 0.5 on this corpus class, see
+    * q_dedup_minhash_verify's banding note) reranked with exact trigram
+    * Jaccard. Returns (a, b, jaccard) with jaccard UNROUNDED — callers
+    * apply their own rounding/threshold so each query keeps its frozen
+    * semantics.
+    */
+  private def nearDupPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cand = TextDedup.minhashCandidates(docs, "doc_id", "text",
+      k = 3, m = 64, bands = 32)
+    val sh = trigramShingles(docs)
+    cand
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          greatest(size(array_union(col("sha"), col("shb"))), lit(1)))
+      .select("a", "b", "jaccard")
+  }
+
+  /** Best-effort recursive delete of a temp dir (the one walk-and-delete,
+    * shared by the three temp-dir demo queries).
+    */
+  private def deleteRecursively(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
   /** Flagship: one distilled frontier-expansion round (seeds → fetch →
     * extract → resolve → canonicalize → SURT → in-batch dedup → O1 order)
     * over a deterministic in-memory synthetic web — a single declarative
@@ -453,13 +498,7 @@ object SparkEntry {
           .orderBy("url")
         val rows = back.collect().toIndexedSeq
         s.createDataFrame(s.sparkContext.parallelize(rows, 1), back.schema)
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(warcDir))
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      }
+      } finally deleteRecursively(warcDir)
     }),
 
     // ---- S9 sitemap seed source: deterministic urlset + gz urlset written
@@ -473,7 +512,7 @@ object SparkEntry {
       val gzXml = {
         val bo = new java.io.ByteArrayOutputStream()
         val g = new java.util.zip.GZIPOutputStream(bo)
-        g.write(urls.drop(150).map(u => s"<url><loc>$u</loc></url>")
+        g.write(urls.drop(150).map(u => s"<url><loc>${u.replace("&", "&amp;")}</loc></url>")
           .mkString("<urlset>", "", "</urlset>").getBytes("UTF-8"))
         g.close(); bo.toByteArray
       }
@@ -485,13 +524,7 @@ object SparkEntry {
           .toDF("url").orderBy("url")
         val rows = seeds.collect().toIndexedSeq
         s.createDataFrame(s.sparkContext.parallelize(rows, 1), seeds.schema)
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(smDir))
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      }
+      } finally deleteRecursively(smDir)
     }),
 
     "q_sim_ivf_topk" -> ((s, dir) => {
@@ -508,13 +541,7 @@ object SparkEntry {
         val probe = Similarity.ivfProbe(s, idx, "vec_id", "embedding", q, 10, planes = 6)
         val rows = probe.collect().toIndexedSeq // k = 10 rows
         s.createDataFrame(s.sparkContext.parallelize(rows, 1), probe.schema)
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      }
+      } finally deleteRecursively(idx)
     }),
 
     // ---- exact n-gram Jaccard verification (all-pairs on a BOUNDED sample;
@@ -525,13 +552,8 @@ object SparkEntry {
     // (round-2 verdict #2). 0.01 keeps tens of nonzero-jaccard rows at every
     // SF, so the compare actually pins the shingle/slice/array semantics. ----
     "q_dedup_jaccard" -> ((s, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= lit(""))
-      val d = s.read.parquet(t(dir, "documents"))
-        .where(pmod(col("doc_id"), lit(10)) === 0)
-        .select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), array_distinct(transform(
-          sequence(lit(0), greatest(size(col("toks")) - 3, lit(0))),
-          i => array_join(slice(col("toks"), i + lit(1), lit(3)), " "))).as("sh"))
+      val d = trigramShingles(s.read.parquet(t(dir, "documents"))
+        .where(pmod(col("doc_id"), lit(10)) === 0))
       // Inverted-index formulation (round 3; replaces the O(n²) NL join):
       // explode shingles and self-EQUI-join on the shingle, so only pairs
       // that actually share a shingle materialize; count(*) per (a,b) is
@@ -585,20 +607,8 @@ object SparkEntry {
     // corpus' actual near-dup similarity (j ≥ 0.8; background pairs ≤ 0.05,
     // measured — a wide gap, so the pinned compare is stable). ----
     "q_dedup_minhash_verify" -> ((s, dir) => {
-      val docs = s.read.parquet(t(dir, "documents"))
-      val cand = TextDedup.minhashCandidates(docs, "doc_id", "text",
-        k = 3, m = 64, bands = 32)
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= lit(""))
-      val sh = docs.select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), array_distinct(transform(
-          sequence(lit(0), greatest(size(col("toks")) - 3, lit(0))),
-          i => array_join(slice(col("toks"), i + lit(1), lit(3)), " "))).as("sh"))
-      cand
-        .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
-        .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
-        .withColumn("jaccard", round(
-          size(array_intersect(col("sha"), col("shb"))).cast("double") /
-            greatest(size(array_union(col("sha"), col("shb"))), lit(1)), 6))
+      nearDupPairs(s.read.parquet(t(dir, "documents")))
+        .withColumn("jaccard", round(col("jaccard"), 6))
         .where(col("jaccard") >= 0.5)
         .select("a", "b", "jaccard")
         .orderBy("a", "b")
@@ -611,20 +621,10 @@ object SparkEntry {
     // cluster. DuckDB-oracled end to end via a recursive-CTE reachability
     // fixpoint over the same all-pairs ≥ 0.5 edge set. ----
     "q_dedup_clusters" -> ((s, dir) => {
-      val docs = s.read.parquet(t(dir, "documents"))
-      val cand = TextDedup.minhashCandidates(docs, "doc_id", "text",
-        k = 3, m = 64, bands = 32)
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= lit(""))
-      val sh = docs.select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), array_distinct(transform(
-          sequence(lit(0), greatest(size(col("toks")) - 3, lit(0))),
-          i => array_join(slice(col("toks"), i + lit(1), lit(3)), " "))).as("sh"))
-      val pairs = cand
-        .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
-        .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
-        .withColumn("jaccard",
-          size(array_intersect(col("sha"), col("shb"))).cast("double") /
-            greatest(size(array_union(col("sha"), col("shb"))), lit(1)))
+      // same verified-pair pipeline as q_dedup_minhash_verify (unrounded
+      // threshold, as before — the corpus' similarity gap makes the
+      // boundary immaterial; see nearDupPairs)
+      val pairs = nearDupPairs(s.read.parquet(t(dir, "documents")))
         .where(col("jaccard") >= 0.5)
         .select("a", "b")
       Graph.dedupClusters(pairs).orderBy("doc_id")
@@ -899,7 +899,7 @@ object SparkEntry {
 
     "q_session_window" -> ("""
       WITH g AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          >= INTERVAL 10 MINUTE THEN 1
                     WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
@@ -907,7 +907,7 @@ object SparkEntry {
         FROM events),
       s AS (
         SELECT user_id, ts,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS sess_id
         FROM g)
       SELECT user_id, min(ts) AS session_start, cast(count(*) AS BIGINT) AS n_events

@@ -34,8 +34,10 @@ object SyntheticWeb {
   /** Uniform double in [0,1) from a hash. */
   private def unit(x: Long): Double = (x >>> 11).toDouble / (1L << 53).toDouble
 
-  /** `density` scales page weight: words per paragraph block and outlinks
-    * multiply by it (density 1 ≈ 1.3 KB html; 8 ≈ 10 KB — closer to the
+  /** `density` scales page weight: words per paragraph block multiply by
+    * it; outlinks only DOUBLE above density 4 (frozen behavior — the link
+    * count is deliberately capped so link volume does not scale 8× with
+    * page size) (density 1 ≈ 1.3 KB html; 8 ≈ 10 KB — closer to the
     * Common-Crawl average the contract targets).
     */
   final case class WebConfig(
@@ -101,7 +103,17 @@ object SyntheticWeb {
     }
   }
 
-  /** Deterministically walk forward from `start` to a page on host `k`. */
+  /** Deterministically walk forward from `start` to a page on host `k`.
+    * FROZEN behavior note: the walk is capped at 64 steps, and on a miss
+    * returns a page on a DIFFERENT host whose path is then rendered as a
+    * same-host relative href — i.e. a link to a URL that does not exist in
+    * `pages`. Under the Zipf host skew, rare hosts miss almost always, so a
+    * slice of the "70% same-host" links are really deterministic 404s. The
+    * corpus is frozen with this property (every oracle/bench expectation
+    * pins it), and it is load-bearing: real crawls are full of dead links,
+    * and these are what exercise the fetch-miss (status 404) path end to
+    * end. FIXTURES.md §1.3 documents the emergent split.
+    */
   private def findOnHost(cfg: WebConfig, start: Long, k: Int): Long = {
     var p = start
     var tries = 0
