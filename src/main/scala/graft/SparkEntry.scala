@@ -479,6 +479,17 @@ object SparkEntry {
         .select("embedding").head().getSeq[Float](0)
       Similarity.lshTopK(emb.where(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
     }),
+    // ANN recall METRIC (r4 verdict #3), end-to-end DuckDB-oracled: recall@10
+    // of hamming≤1 sign-LSH probing vs exact brute force over 8 sampled
+    // queries. The sign-bucket family is SQL-expressible by design
+    // (Similarity.signBucketCol) — planes = 3 pins a non-trivial recall
+    // (mean ≈ 0.6-0.7 on this corpus, measured at sf0.01 and sf0.1), i.e.
+    // the documented quality/pruning trade the plane count buys.
+    "q_sim_recall" -> ((s, dir) => {
+      Similarity.signLshRecall(s.read.parquet(t(dir, "embeddings")),
+          "vec_id", "embedding", nQueries = 8, k = 10, planes = 3)
+        .orderBy("qid")
+    }),
     // persisted IVF index: bucket-partitioned write, then a PARTITION-PRUNED
     // probe (the scan reads only the probed bucket dirs — the 100 TB path)
     // ---- S8 WARC source/sink: write the deterministic synthetic corpus as
@@ -688,12 +699,18 @@ object SparkEntry {
         .orderBy("id")
     }),
 
-    // ---- multimodal plumbing (codec stubbed, plumbing real) ----
+    // ---- multimodal: header metadata REAL for PNG/GIF/BMP/JPEG/WAV/MP4;
+    // pixel/sample statistics REAL for BMP + 16-bit PCM WAV (round 5 — raw
+    // after the header, no codec lib needed); JPEG/PNG/GIF/MP4 payload
+    // decode remains the documented stub ----
     "q_multimodal_decode" -> ((s, dir) => {
       import s.implicits._
       val media = Multimodal.asMedia(s, s.read.parquet(t(dir, "documents")), "doc_id", "text")
       Multimodal.decode(media).toDF()
-        .select("media_id", "kind", "width", "height", "channels", "duration_ms", "ok")
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("channels"), col("duration_ms"), col("ok"), col("n_samples"),
+          round(col("sample_mean"), 6).as("sample_mean"),
+          round(col("sample_rms"), 6).as("sample_rms"), col("sample_peak"))
         .orderBy("media_id")
     }),
     "q_multimodal_frames" -> ((s, dir) => {
@@ -946,6 +963,38 @@ object SparkEntry {
              round(list_cosine_similarity(cast(embedding AS DOUBLE[]), qv), 6) AS cos
       FROM embeddings, q WHERE vec_id <> 0
       ORDER BY cos DESC, vec_id ASC LIMIT 10"""),
+
+    // mirror of Similarity.signLshRecall term for term: sign buckets over
+    // the first 3 coordinates, hamming≤1 probe, rank by 6dp-rounded cosine
+    // with vec_id tie-break, recall@10 per query
+    "q_sim_recall" -> ("""
+      WITH b AS (
+        SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+               ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+                (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+                (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END))::BIGINT AS bucket
+        FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM b WHERE vec_id < 8),
+      c AS (SELECT vec_id, v, bucket FROM b WHERE vec_id >= 8),
+      brute AS (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id ASC) AS rk
+        FROM c, q),
+      lsh AS (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id ASC) AS rk
+        FROM c, q WHERE bit_count(xor(bucket, qb)) <= 1)
+      SELECT q.qid, coalesce(h.n_hits, 0) AS n_hits,
+             coalesce(h.n_hits, 0) / 10.0 AS recall
+      FROM q LEFT JOIN (
+        SELECT bt.qid, count(*) AS n_hits
+        FROM (SELECT qid, vec_id FROM brute WHERE rk <= 10) bt
+        JOIN (SELECT qid, vec_id FROM lsh WHERE rk <= 10) lt
+          ON bt.qid = lt.qid AND bt.vec_id = lt.vec_id
+        GROUP BY bt.qid) h ON h.qid = q.qid
+      ORDER BY q.qid"""),
 
     // all pairs at >= 0.5 — equality with the engine's LSH-candidates→verify
     // pipeline pins minhash recall AND the exact-jaccard semantics end to end

@@ -55,6 +55,11 @@ object Cuckoo64 {
 
   def emptyBuckets(numBuckets: Long): Array[Long] = {
     require(java.lang.Long.bitCount(numBuckets) == 1, s"bucket count must be a power of two: $numBuckets")
+    // fail fast, not corrupt state: `.toInt` on ≥ 2^31 silently truncates,
+    // allocating a short array whose mask (cf(0)-1) then indexes past it
+    require(numBuckets <= (1L << 30),
+      s"bucket count $numBuckets overflows Array[Long] addressing (max 2^30); " +
+        "shard the filter across buckets instead")
     val arr = new Array[Long](2 + numBuckets.toInt)
     arr(0) = numBuckets
     arr

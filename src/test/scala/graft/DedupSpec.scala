@@ -74,6 +74,31 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(uncapped.exists(p => p._1 < 60 && p._2 < 60))
   }
 
+  test("count-first cap shape: the bucket filter sits BELOW every id-list collect (r4 verdict #1)") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, s"token$i shared common words here")).toDF("doc_id", "text")
+    // L2: the plan's collect_list aggregate must have the cap's LEFT-SEMI
+    // join underneath it — the oversized bucket is gone BEFORE any list
+    // aggregation buffer can materialize it
+    val l2 = TextDedup.minhashCandidates(docs, "doc_id", "text", maxBucket = 10)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val collectAggs = l2.collect {
+      case agg: Aggregate if agg.aggregateExpressions.exists(_.toString.contains("collect_list")) => agg
+    }
+    assert(collectAggs.nonEmpty, "L2 plan lost its collect_list aggregate")
+    assert(collectAggs.forall(_.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty),
+      "a collect_list aggregate has no cap semi-join below it — the list materializes pre-cap")
+    // J9: no list/set aggregation anywhere in the candidate path — the
+    // count-first rewrite expands buckets by equi-join, never by collect
+    val j9 = graft.operators.Match.nearMatchByText(
+        docs.limit(20), docs.limit(20), "doc_id", "text", threshold = 0.3)
+      .queryExecution.optimizedPlan
+    assert(!j9.toString.contains("collect_set") && !j9.toString.contains("collect_list"),
+      "J9 plan still materializes bucket id lists in an aggregation buffer")
+  }
+
   test("capBuckets: no surviving join bucket exceeds the cap or is a singleton") {
     import spark.implicits._
     // skewed key distribution: key 0 holds 500 rows (hot), keys 1..20 hold

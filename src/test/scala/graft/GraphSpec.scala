@@ -77,6 +77,46 @@ class GraphSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.count(_._4) == 3)
   }
 
+  test("connectedComponents maxIter cutoff is observable and sound (pathological chain)") {
+    import spark.implicits._
+    // a 30-vertex path has diameter 29; hash-min needs ~diameter supersteps,
+    // so maxIter = 3 MUST cut off before the fixpoint
+    val chain = (0L until 30L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val r = Graph.connectedComponentsWithStatus(chain.toDF("a", "b"), maxIter = 3)
+    val got = r.components.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r.release()
+    assert(!r.converged && r.iters == 3)
+    // sound under-approximation: every label is a real reachable vertex id
+    // that is ≤ the vertex's own id (min over a subset), and labels are NOT
+    // all 0 yet (the cutoff genuinely truncated propagation)
+    assert(got.forall { case (id, comp) => comp <= id && comp >= 0L })
+    assert(got.values.toSet.size > 1, "3 supersteps cannot finish a 29-diameter chain")
+    // and with enough supersteps the same input converges to one component
+    val full = Graph.connectedComponentsWithStatus(chain.toDF("a", "b"), maxIter = 64)
+    assert(full.converged && full.iters < 64)
+    assert(full.components.collect().forall(_.getLong(1) == 0L))
+    full.release()
+  }
+
+  test("dedupClusters surfaces non-convergence: warn-and-return or throw") {
+    import spark.implicits._
+    val chain = (0L until 30L).sliding(2).map(s => (s(0), s(1))).toSeq
+    // default: sound under-approximation returned — the one real component
+    // is SPLIT into multiple cluster ids (note a split cluster's keep
+    // representative can be missing entirely: the truncated min label
+    // needn't be a member of the group it labels — e.g. cluster_id 1 here
+    // holds vertex 4 only, while vertex 1 itself labels as 0)
+    val rows = Graph.dedupClusters(chain.toDF("a", "b"), maxIter = 3)
+    assert(rows.select("cluster_id").distinct().count() > 1,
+      "a 3-superstep cutoff must leave a 29-diameter chain split")
+    rows.unpersist()
+    // strict: the cutoff throws
+    val e = intercept[IllegalStateException] {
+      Graph.dedupClusters(chain.toDF("a", "b"), maxIter = 3, requireConverged = true)
+    }
+    assert(e.getMessage.contains("unconverged"))
+  }
+
   /** In-test PageRank reference mirroring pagerankMicro's quantization. */
   private def prReference(edges: Seq[(Long, Long)], iters: Int, d: Double): Map[Long, Long] = {
     val e = edges.distinct

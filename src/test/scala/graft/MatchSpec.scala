@@ -116,6 +116,49 @@ class MatchSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Seq((1000L, 1001L)), s"got $got")
   }
 
+  test("J9 banding recall follows 1-(1-j^r)^b at controlled Jaccard (r4 verdict #8)") {
+    import spark.implicits._
+    // Controlled-similarity corpus generator, second corpus class (the
+    // documents table pins recall only at its own one j-regime): P pairs per
+    // Jaccard level, each pair in its OWN disjoint token universe so its
+    // only nonzero-jaccard partner is its twin and the measured match rate
+    // IS the banding candidate recall. k=1 (unigram shingles) makes the
+    // realized Jaccard exact: |A∩B|=s, |A∪B|=2T-s ⇒ j=s/(2T-s).
+    val levels = Seq( // (j, tokens-per-side T, shared s) with s/(2T-s) exact
+      (0.5, 15, 10), (0.7, 17, 14), (0.9, 19, 18))
+    val pairsPerLevel = 150
+    def text(universe: String, idxs: Seq[Int]) = idxs.map(i => s"$universe$i").mkString(" ")
+    val rows = for {
+      ((j, t, s), li) <- levels.zipWithIndex
+      p <- 0 until pairsPerLevel
+    } yield {
+      val u = s"l${li}p${p}t"
+      val aId = li * 100000L + p
+      // A = tokens 0..T-1; B = tokens 0..s-1 (shared) ++ T..2T-s-1 (private)
+      (aId, text(u, 0 until t), aId + 50000L, text(u, (0 until s) ++ (t until (2 * t - s))), j)
+    }
+    val a = rows.map(r => (r._1, r._2)).toDF("doc_id", "text")
+    val b = rows.map(r => (r._3, r._4)).toDF("doc_id", "text")
+    // two band geometries trace the curve's shape, not just one point:
+    // (m=16,b=2 ⇒ r=8) and (m=16,b=4 ⇒ r=4)
+    for ((m, bandsN) <- Seq((16, 2), (16, 4))) {
+      val r = m / bandsN
+      val matched = Match.nearMatchByText(a, b, "doc_id", "text",
+          k = 1, m = m, bands = bandsN, threshold = 0.3)
+        .select("a_id").as[Long].collect().toSet
+      levels.zipWithIndex.foreach { case ((j, _, _), li) =>
+        val hits = (0 until pairsPerLevel).count(p => matched.contains(li * 100000L + p))
+        val empirical = hits.toDouble / pairsPerLevel
+        val theory = 1.0 - math.pow(1.0 - math.pow(j, r), bandsN)
+        // 4σ binomial noise + 2% minhash-row-dependence slack
+        val tol = 4 * math.sqrt(theory * (1 - theory) / pairsPerLevel) + 0.02
+        assert(math.abs(empirical - theory) <= tol,
+          f"banding (m=$m,b=$bandsN,r=$r) at j=$j: empirical $empirical%.3f vs " +
+            f"theory $theory%.3f (tol $tol%.3f)")
+      }
+    }
+  }
+
   test("diffByKey over real versioned state tables: seen is append-exact, frontier balances") {
     val web = SyntheticWeb.WebConfig(seed = 7L, nPages = 600, nHosts = 24)
     val pages = SyntheticWeb.pages(spark, web).toDF()

@@ -139,6 +139,83 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(HeaderCodec.parse(lyingSize).isEmpty)
   }
 
+  test("BMP pixel decode: golden vectors for 24bpp bottom-up, padding excluded") {
+    import graft.operators.Multimodal.SampleCodec
+    // 2×2 24bpp: stride = 8 (2 pad bytes per row), pixel bytes chosen by hand
+    val row0 = bytes(10, 20, 30, 40, 50, 60, 0, 0)
+    val row1 = bytes(70, 80, 90, 100, 110, 120, 0, 0)
+    val hdr = ascii("BM") ++ le32b(54 + 16) ++ le16b(0) ++ le16b(0) ++ le32b(54) ++
+      le32b(40) ++ le32b(2) ++ le32b(2) ++ le16b(1) ++ le16b(24) ++
+      le32b(0) ++ le32b(16) ++ new Array[Byte](16)
+    val bmp = hdr ++ row0 ++ row1
+    val s = SampleCodec.bmpPixels(bmp).get
+    val vals = Seq(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    assert(s.n == 12, "padding bytes must not count as pixels")
+    assert(s.mean == vals.sum.toDouble / 12)
+    assert(s.rms == math.sqrt(vals.map(v => v.toLong * v).sum.toDouble / 12))
+    assert(s.peak == 120.0)
+    // top-down (negative height): same statistics
+    val topDown = bmp.clone()
+    val neg = le32b(-2L & 0xffffffffL)
+    System.arraycopy(neg, 0, topDown, 22, 4)
+    assert(SampleCodec.bmpPixels(topDown).get == s)
+    // truncated pixel data: only the bytes present decode
+    val trunc = SampleCodec.bmpPixels(bmp.dropRight(8)).get
+    assert(trunc.n == 6 && trunc.peak == 60.0)
+    // compressed (BI_RLE8) refuses rather than misreads
+    val rle = bmp.clone(); rle(30) = 1
+    assert(SampleCodec.bmpPixels(rle).isEmpty)
+  }
+
+  test("WAV PCM decode: golden int16 sample statistics; non-PCM refused") {
+    import graft.operators.Multimodal.SampleCodec
+    val samples = Seq[Short](100, -200, 32767, -32768)
+    val data = samples.flatMap(v => Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)).toArray
+    val wav = Multimodal.ContainerCodec.wav(data, channels = 1, sampleRate = 8000)
+    val s = SampleCodec.wavSamples(wav).get
+    assert(s.n == 4)
+    assert(s.mean == samples.map(_.toLong).sum.toDouble / 4)
+    assert(s.rms == math.sqrt(samples.map(v => v.toLong * v).sum.toDouble / 4))
+    assert(s.peak == 32768.0)
+    // 8-bit (bitsPerSample ≠ 16) refused — the decoder only claims int16 PCM
+    val w8 = wav.clone(); w8(34) = 8
+    assert(SampleCodec.wavSamples(w8).isEmpty)
+  }
+
+  test("decode pipeline carries real BMP/WAV sample stats; stubs stay zero") {
+    import spark.implicits._
+    val pix = bytes(1, 2, 3, 4, 5, 6) // tiles a 1×2 bmp exactly
+    val media = Seq(
+      Media(1L, "image", Multimodal.ContainerCodec.bmp(pix, width = 1, height = 2)),
+      Media(2L, "audio", Multimodal.ContainerCodec.wav(
+        bytes(0x10, 0x00, 0xf0, 0xff), channels = 1, sampleRate = 8000)), // +16, -16
+      Media(3L, "video", Multimodal.ContainerCodec.mp4(2000L, 320, 240, pix))).toDS()
+    val out = Multimodal.decode(media).collect().sortBy(_.media_id)
+    assert(out(0).container == "bmp" && out(0).n_samples == 6 &&
+      out(0).sample_mean == 3.5 && out(0).sample_peak == 6.0)
+    assert(out(1).container == "wav" && out(1).n_samples == 2 &&
+      out(1).sample_mean == 0.0 && out(1).sample_peak == 16.0)
+    assert(out(2).container == "mp4" && out(2).n_samples == 0L,
+      "mp4 payload decode is the documented stub — stats must stay zero, not fake")
+  }
+
+  test("ContainerCodec.bmp ∘ decode = identity on dims and tiled pixel stats") {
+    import graft.operators.Multimodal.{ContainerCodec, SampleCodec}
+    val rnd = new scala.util.Random(77)
+    (0 until 20).foreach { trial =>
+      val w = 1 + rnd.nextInt(12); val h = 1 + rnd.nextInt(9)
+      val payload = Array.fill(1 + rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      val b = ContainerCodec.bmp(payload, w, h)
+      assert(HeaderCodec.parse(b).contains(("bmp", w, h, 3, 0L)), s"trial $trial")
+      val s = SampleCodec.bmpPixels(b).get
+      assert(s.n == w.toLong * h * 3, s"trial $trial n")
+      // reference stats straight from the tiling rule
+      val vals = (0L until w.toLong * h * 3).map(i => payload((i % payload.length).toInt) & 0xff)
+      assert(s.mean == vals.map(_.toLong).sum.toDouble / s.n, s"trial $trial mean")
+      assert(s.peak == vals.max.toDouble, s"trial $trial peak")
+    }
+  }
+
   test("non-media payloads fall back to the deterministic stub") {
     assert(HeaderCodec.parse("just some text".getBytes("UTF-8")).isEmpty)
     assert(HeaderCodec.parse(Array.emptyByteArray).isEmpty)
@@ -203,20 +280,25 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
-  test("asMedia emits real containers for audio/video; image stays fallback") {
+  test("asMedia emits real containers for audio/video/even-id image; odd image stays fallback") {
     import spark.implicits._
-    val df = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"), (5L, "five"))
+    val df = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"), (5L, "five"),
+      (6L, "six pixels worth of text"))
       .toDF("id", "payload")
     val out = Multimodal.decode(
       Multimodal.asMedia(spark, df, "id", "payload")).collect().sortBy(_.media_id)
     val byId = out.map(o => o.media_id -> o).toMap
     // kind by id % 3: 1→audio, 2→video, 3→image
     assert(byId(1L).container == "wav" && byId(1L).channels == 2 && byId(1L).ok)
+    assert(byId(1L).n_samples > 0, "wav rows must carry real PCM stats")
     assert(byId(4L).container == "wav" && byId(4L).channels == 1)
     assert(byId(2L).container == "mp4" && byId(2L).width == 640
       && byId(2L).duration_ms == 1500L)
     assert(byId(5L).container == "mp4" && byId(5L).duration_ms == 2250L)
-    assert(byId(3L).container == "unknown" && byId(3L).ok, "image keeps the fallback path")
+    assert(byId(3L).container == "unknown" && byId(3L).ok, "odd image keeps the fallback path")
+    // even image id: a REAL decodable BMP with genuine pixel statistics
+    assert(byId(6L).container == "bmp" && byId(6L).width == 10 && byId(6L).height == 4)
+    assert(byId(6L).n_samples == 10L * 4 * 3 && byId(6L).sample_peak > 0)
   }
 
   test("feature extraction and frame sampling keep their shapes") {
