@@ -7,7 +7,7 @@ import org.apache.spark.storage.StorageLevel
 import graft.functions.UrlFunctions
 import graft.model.{CrawlConfig, RobotsPolicy}
 import graft.operators.{RobotsAccess, SeenStore}
-import graft.sources.StateTable
+import graft.sources.{RoundLog, StateTable}
 
 /** The frontier-expansion superstep — SURVEY.md §3.1.
   *
@@ -262,6 +262,21 @@ object CrawlRound {
     val version = round // version v is committed by round v; seeds commit v0
     val prevV = version - 1
 
+    // idempotent replay fast path (round 5): a round-committed version is
+    // atomic — ONE probe answers for all four tables, and the counters are
+    // read back from the manifest instead of recomputing the round
+    RoundLog.manifest(stateDir, version) match {
+      case Some(rm) =>
+        val c = rm.tables.valuesIterator.map(_.counters).nextOption().getOrElse(Map.empty)
+        return RoundCounters(round,
+          c.getOrElse("admitted", 0L),
+          rm.tables.get("fetch_log").flatMap(_.counters.get("fetched200")).getOrElse(0L),
+          c.getOrElse("candidates", 0L),
+          c.getOrElse("new_urls", 0L),
+          c.getOrElse("dedup_dropped", 0L))
+      case None => ()
+    }
+
     val frontier = readFrontier(spark, stateDir, Some(prevV),
       broadcastMaxDels = cfg.exactAntiBroadcastMaxRows)
     // cached: host_state is read twice per round (rank-phase broadcast +
@@ -456,15 +471,16 @@ object CrawlRound {
     // the shared fetch → candidates → dedup caches (BlockManager's
     // per-block locks serialize any racing partition compute, so shared
     // ancestors are computed once) — then the round's counters are read as
-    // CACHE-HIT counts over the data the writes just produced, and the four
-    // manifests publish serially at the end. This removes the separate
-    // stats barrier action entirely (round-4 profile: stats was the largest
-    // width-insensitive fixed-cost term, ~4 s of a ~10 s round). Crash
-    // consistency is unchanged: a table is committed only once its manifest
-    // + CURRENT publish, and Resume takes the MIN committed version across
-    // all four tables; publishing later only narrows the commit window. The
-    // seen table's bloom sidecars are still written BEFORE its manifest, so
-    // a committed seen version always has complete sidecars. ----
+    // CACHE-HIT counts over the data the writes just produced, and ONE
+    // round-level manifest + CURRENT publishes at the end (RoundLog, round
+    // 5 — formerly four JSON + CURRENT publishes). This removes the
+    // separate stats barrier action entirely (round-4 profile: stats was
+    // the largest width-insensitive fixed-cost term, ~4 s of a ~10 s
+    // round). Crash consistency STRENGTHENS: the round commits atomically
+    // (no per-table partial states), Resume's min rule degenerates to the
+    // one round pointer, and the seen table's bloom sidecars are still
+    // written BEFORE the publish, so a committed version always has
+    // complete sidecars. ----
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -596,35 +612,44 @@ object CrawlRound {
       "candidates" -> nCands, "new_urls" -> nNew,
       "dedup_dropped" -> (nCands - nNew))
 
-    // ---- serial manifest + CURRENT publishes (tiny JSON writes; the commit
-    // points). Publish order is irrelevant — Resume takes the min. ----
-    fetchLogRes.foreach { case (n, n200, compactLog) =>
-      StateTable.finalizeCommit(fetchLogDir(stateDir), version, round, n,
-        counters + ("fetched200" -> n200), compacted = compactLog)
+    // ---- ONE round-level manifest + CURRENT publish (round 5, r4 verdict
+    // #6): the four per-table JSON + CURRENT publishes collapse into a
+    // single atomic commit point (RoundLog) — the per-table layout on disk
+    // is unchanged; every reader resolves manifests through both logs. A
+    // table whose data write no-op'd (a LEGACY per-table partial commit
+    // being replayed — the migration path) contributes its existing
+    // manifest verbatim. ----
+    def tableManifest(nRows: Long, extra: Map[String, Long] = Map.empty,
+        compacted: Boolean = false) =
+      StateTable.Manifest(version, round, nRows, counters ++ extra, version - 1,
+        if (compacted) version else -1L)
+    val fetchLogM = fetchLogRes match {
+      case Some((n, n200, compactLog)) =>
+        tableManifest(n, Map("fetched200" -> n200), compactLog)
+      case None => StateTable.manifest(fetchLogDir(stateDir), version).get
     }
-    seenRes.foreach { case (n, compact) =>
-      StateTable.finalizeCommit(seenDir(stateDir), version, round, n, counters,
-        compacted = compact)
+    val seenM = seenRes match {
+      case Some((n, compact)) => tableManifest(n, compacted = compact)
+      case None => StateTable.manifest(seenDir(stateDir), version).get
     }
-    frontierRes.foreach {
-      case (n, None) =>
-        // a full frontier snapshot is ALWAYS a valid compaction point (the
-        // snap holds the complete table) — marked in both commit modes so
-        // retention GC's chain cutoff is well-defined even when maintenance
-        // DELTAS (Recrawl.commitMaintenance) interleave with full-commit
-        // rounds: the delta's base is then never expired from under it
-        StateTable.finalizeCommit(frontierDir(stateDir), version, round, n, counters,
-          compacted = true)
-      case (n, Some(nd)) =>
-        StateTable.finalizeCommit(frontierDir(stateDir), version, round, n,
-          counters + (StateTable.DelsCounter -> nd))
+    val frontierM = frontierRes match {
+      // a full frontier snapshot is ALWAYS a valid compaction point (the
+      // snap holds the complete table) — marked in both commit modes so
+      // retention GC's chain cutoff is well-defined even when maintenance
+      // DELTAS (Recrawl.commitMaintenance) interleave with full-commit
+      // rounds: the delta's base is then never expired from under it
+      case Some((n, None)) => tableManifest(n, compacted = true)
+      case Some((n, Some(nd))) => tableManifest(n, Map(StateTable.DelsCounter -> nd))
+      case None => StateTable.manifest(frontierDir(stateDir), version).get
     }
-    hostRes.foreach { n =>
-      StateTable.finalizeCommit(hostStateDir(stateDir), version, round, n, counters)
+    val hostM = hostRes match {
+      case Some(n) => tableManifest(n)
+      case None => StateTable.manifest(hostStateDir(stateDir), version).get
     }
-    val nFetched200 = fetchLogRes.map(_._2).getOrElse(
-      StateTable.manifest(fetchLogDir(stateDir), version)
-        .flatMap(_.counters.get("fetched200")).getOrElse(0L))
+    RoundLog.publish(stateDir, version, round, Map(
+      "frontier" -> frontierM, "url_seen" -> seenM,
+      "host_state" -> hostM, "fetch_log" -> fetchLogM))
+    val nFetched200 = fetchLogM.counters.getOrElse("fetched200", 0L)
     mark("commits")
 
     // ---- snapshot expiration (retention GC). Versions below the window (and

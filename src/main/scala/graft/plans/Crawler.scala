@@ -109,10 +109,15 @@ object SeedInjector {
 object Resume {
 
   /** Last complete committed version across ALL state tables, fetch_log
-    * included (None = no v0). The four round commits run concurrently, so a
-    * crash can leave any one table behind; resuming from the minimum re-runs
-    * the partial round idempotently. fetch_log has no v0 (seeding writes no
-    * log), so its missing CURRENT counts as version 0.
+    * included (None = no v0). Round 5: crawl rounds publish ONE round-level
+    * manifest + CURRENT (RoundLog) covering all four tables, so for
+    * round-committed versions the min below degenerates to that single
+    * pointer (each table's currentVersion resolves to it); the min rule is
+    * kept because seed commits (v0), maintenance operations (Recrawl) and
+    * legacy state dirs still commit per-table — a crash there can leave one
+    * table behind, and resuming from the minimum re-runs the partial
+    * version idempotently. fetch_log has no v0 (seeding writes no log), so
+    * its missing CURRENT counts as version 0.
     */
   def lastCompleteVersion(stateDir: String): Option[Long] = {
     val core = Seq(

@@ -48,14 +48,38 @@ object StateTable {
   private def currentFile(dir: String): Path = logDir(dir).resolve("CURRENT")
   def snapPath(dir: String, v: Long): String = s"$dir/snap-$v"
 
+  /** (stateDir, tableName) when `dir` is a table inside a state dir that has
+    * committed at round level ([[RoundLog]] — one manifest + one CURRENT per
+    * crawl round instead of four of each). Every manifest/version/CURRENT
+    * lookup below consults BOTH logs, per-table first, so mixed chains
+    * (seed commits and maintenance ops per-table, rounds round-level,
+    * legacy state dirs entirely per-table) read identically.
+    */
+  private def roundScope(dir: String): Option[(String, String)] = {
+    val p = Paths.get(dir).toAbsolutePath.normalize
+    val parent = p.getParent
+    if (parent != null && RoundLog.exists(parent.toString))
+      Some((parent.toString, p.getFileName.toString))
+    else None
+  }
+
   def currentVersion(dir: String): Option[Long] = {
     val f = currentFile(dir)
-    if (Files.exists(f)) Some(Files.readString(f).trim.toLong) else None
+    val perTable = if (Files.exists(f)) Some(Files.readString(f).trim.toLong) else None
+    // the round CURRENT counts for this table only if its manifest names it
+    val viaRound = roundScope(dir).flatMap { case (sd, tbl) =>
+      RoundLog.currentVersion(sd).filter(v => RoundLog.tableManifest(sd, tbl, v).isDefined)
+    }
+    (perTable, viaRound) match {
+      case (Some(a), Some(b)) => Some(math.max(a, b))
+      case (a, b) => a.orElse(b)
+    }
   }
 
   def manifest(dir: String, v: Long): Option[Manifest] = {
     val f = logDir(dir).resolve(s"$v.json")
-    if (!Files.exists(f)) None else Some(parseManifest(Files.readString(f)))
+    if (Files.exists(f)) Some(parseManifest(Files.readString(f)))
+    else roundScope(dir).flatMap { case (sd, tbl) => RoundLog.tableManifest(sd, tbl, v) }
   }
 
   private def hasDataFiles(path: String): Boolean = {
@@ -360,10 +384,14 @@ object StateTable {
     */
   def alreadyCommitted(dir: String, version: Long): Option[Manifest] = {
     val logged = logDir(dir).resolve(s"$version.json")
-    if (!Files.exists(logged)) None
-    else {
+    if (Files.exists(logged)) {
       if (currentVersion(dir).forall(_ < version)) advanceCurrent(dir, version)
       Some(parseManifest(Files.readString(logged)))
+    } else roundScope(dir) match {
+      // round-committed: the repair-forward belongs to the ROUND pointer
+      case Some((sd, tbl)) =>
+        RoundLog.alreadyCommitted(sd, version).flatMap(_.tables.get(tbl))
+      case None => None
     }
   }
 
@@ -476,6 +504,9 @@ object StateTable {
           rmTree(Paths.get(delPath(dir, v))) // merge-on-read tombstones ride along
           Files.deleteIfExists(logDir(dir).resolve(s"$v.json"))
         }
+        // round-committed manifests GC table-by-table (each table has its own
+        // chain-aware cutoff); the round file dies when its last table does
+        roundScope(dir).foreach { case (sd, tbl) => RoundLog.expireTable(sd, tbl, dead) }
         dead
     }
   }
@@ -488,24 +519,32 @@ object StateTable {
       finally s.close()
     }
 
-  /** All committed versions, ascending (time-travel surface). */
+  /** All committed versions, ascending (time-travel surface): per-table log
+    * ∪ the table's versions in the parent round log.
+    */
   def versions(dir: String): Seq[Long] = {
     val d = logDir(dir)
-    if (!Files.exists(d)) Seq.empty
-    else {
-      val stream = Files.list(d)
-      try stream.iterator.asScala
-        .map(_.getFileName.toString)
-        .filter(_.endsWith(".json"))
-        .map(_.stripSuffix(".json").toLong)
-        .toSeq.sorted
-      finally stream.close()
+    val perTable =
+      if (!Files.exists(d)) Seq.empty[Long]
+      else {
+        val stream = Files.list(d)
+        try stream.iterator.asScala
+          .map(_.getFileName.toString)
+          .filter(_.endsWith(".json"))
+          .map(_.stripSuffix(".json").toLong)
+          .toSeq
+        finally stream.close()
+      }
+    val viaRound = roundScope(dir) match {
+      case Some((sd, tbl)) => RoundLog.versionsFor(sd, tbl)
+      case None => Seq.empty[Long]
     }
+    (perTable ++ viaRound).distinct.sorted
   }
 
   // --- minimal JSON (flat manifests only; no external json lib on classpath) ---
 
-  private def renderManifest(m: Manifest): String = {
+  private[sources] def renderManifest(m: Manifest): String = {
     val cs = m.counters.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     s"""{"version":${m.version},"round":${m.round},"n_rows":${m.nRows},"parent":${m.parent},"compacted_through":${m.compactedThrough},"counters":$cs}"""
