@@ -83,6 +83,40 @@ object Bench {
     */
   private def settleJvm(): Unit = { System.gc(); Thread.sleep(2000); System.gc() }
 
+  // ---- host-contention probe (round 5, r4 verdict #7) ----
+
+  /** Aggregate pure-CPU throughput (iterations/sec) of `threads` spinning
+    * xorshift threads over a fixed per-thread quantum — no allocation, no
+    * Spark, so its lo→hi scaling measures the HOST, not the engine.
+    */
+  private def cpuProbe(threads: Int): Double = {
+    val iters = 400000000L // ~0.3-0.6s single-thread after JIT
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { i =>
+      val t = new Thread(() => {
+        var x = 0x9e3779b97f4a7c15L + i
+        var n = 0L
+        while (n < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; n += 1 }
+        sink.addAndGet(x | 1L) // defeat dead-code elimination
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    threads * iters / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  private lazy val probeWarm: Unit = { cpuProbe(2); cpuProbe(2); () } // JIT the loop once
+
+  /** Pure-CPU scaling efficiency lo→hi right now. An idle sandbox measures
+    * ≈0.90 (PROFILE_r04.md); host-contended windows measured 0.60-0.76 —
+    * exactly the windows that produced round 3/4's full-loop inversions.
+    */
+  private def probeEfficiency(lo: Int, hi: Int): Double = {
+    probeWarm
+    (cpuProbe(hi) / cpuProbe(lo)) / (hi.toDouble / lo)
+  }
+
   /** Round-over-round comparison computed from the newest committed
     * BENCH_r*.json (the driver's own prior measurement) — never hardcoded
     * prose, so the generated report cannot go stale. Empty when no prior
@@ -416,16 +450,45 @@ object Bench {
       // clean throughput; a median would average-in neighbors' noise (one
       // observed fork ran 6131 vs 9963 URLs/s minutes apart at the same
       // width and would have flipped the headline ratio by itself).
+      // Fork-pair acceptance (round 5, r4 verdict #7): the host probe
+      // BRACKETS each interleaved (lo,hi) pair — a pair measured in a window
+      // whose pure-CPU scaling is itself degraded (pre- or post-probe
+      // efficiency < threshold) is REJECTED and re-run instead of hoping the
+      // per-width max lands clean (the r3 inversion was exactly two
+      // contended hi-forks at n=2). Attempts are bounded at 2× the requested
+      // forks; if every window was contended the contended pairs are used
+      // anyway and the rejection count is published with the samples.
       def widthSeries(kind: String, forks: Int)
-          : ((Double, Double), (Double, Double), Seq[((Double, Double), (Double, Double))]) = {
-        val samples = (1 to forks).map { i =>
+          : ((Double, Double), (Double, Double), Seq[((Double, Double), (Double, Double))], Int) = {
+        val probeOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE", "1") == "1"
+        val probeMin = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_MIN", "0.8").toDouble
+        val maxAttempts = forks * 2
+        val all = scala.collection.mutable.ArrayBuffer
+          .empty[((Double, Double), (Double, Double), Boolean)]
+        var attempt = 0
+        while (all.count(_._3) < forks && attempt < maxAttempts) {
+          attempt += 1
+          val pre = if (probeOn) probeEfficiency(loCores, hiCores) else 1.0
           val lo = measureForked(kind, loCores, corpus, st)
           val hi = measureForked(kind, hiCores, corpus, st)
-          System.err.println(f"[bench] $kind fork $i/$forks: u$loCores=${lo._1}%.0f u$hiCores=${hi._1}%.0f")
-          (lo, hi)
+          val post = if (probeOn) probeEfficiency(loCores, hiCores) else 1.0
+          val clean = math.min(pre, post) >= probeMin
+          System.err.println(f"[bench] $kind attempt $attempt/$maxAttempts: " +
+            f"u$loCores=${lo._1}%.0f u$hiCores=${hi._1}%.0f " +
+            f"probe pre=$pre%.2f post=$post%.2f ${if (clean) "ACCEPT" else "REJECT (contended window)"}")
+          all += ((lo, hi, clean))
         }
+        val clean = all.filter(_._3).map(s => (s._1, s._2)).toSeq
+        val rejectedCount = all.count(!_._3)
+        val samples =
+          if (clean.nonEmpty) clean
+          else {
+            System.err.println(s"[bench] $kind: EVERY window contended — " +
+              "publishing contended pairs, rejection count disclosed")
+            all.map(s => (s._1, s._2)).toSeq
+          }
         def best(xs: Seq[(Double, Double)]) = xs.maxBy(_._1)
-        (best(samples.map(_._1)), best(samples.map(_._2)), samples)
+        (best(samples.map(_._1)), best(samples.map(_._2)), samples, rejectedCount)
       }
       def sampleJson(samples: Seq[((Double, Double), (Double, Double))]): (String, String) =
         (samples.map(s => f"${s._1._1}%.0f").mkString("[", ",", "]"),
@@ -440,11 +503,13 @@ object Bench {
       // geometrically and gives the published spread real support.
       val crawlForks = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORKS_CRAWL", "3").toInt
       val dataflowForks = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORKS_DATAFLOW", "5").toInt
-      val ((u8, s8), (u32, s32), crawlSamples) =
-        if (dataflowOnly) ((0.0, 0.0), (0.0, 0.0), Seq.empty) else widthSeries("crawl", crawlForks)
+      val ((u8, s8), (u32, s32), crawlSamples, crawlRejected) =
+        if (dataflowOnly) ((0.0, 0.0), (0.0, 0.0), Seq.empty, 0)
+        else widthSeries("crawl", crawlForks)
       val eff = if (dataflowOnly) 0.0 else (u32 / u8) / (hiCores.toDouble / loCores)
-      val ((d8, ds8), (d32, ds32), dataflowSamples) =
-        if (crawlOnly) ((0.0, 0.0), (0.0, 0.0), Seq.empty) else widthSeries("dataflow", dataflowForks)
+      val ((d8, ds8), (d32, ds32), dataflowSamples, dataflowRejected) =
+        if (crawlOnly) ((0.0, 0.0), (0.0, 0.0), Seq.empty, 0)
+        else widthSeries("dataflow", dataflowForks)
       val deff = if (crawlOnly) 0.0 else (d32 / d8) / (hiCores.toDouble / loCores)
       val (cs8, cs32) = sampleJson(crawlSamples)
       val (dfs8, dfs32) = sampleJson(dataflowSamples)
@@ -504,6 +569,13 @@ object Bench {
            |full loop local[8] $cs8 local[32] $cs32; dataflow local[8] $dfs8
            |local[32] $dfs32.
            |Spread across forks: $crawlSpread; $dataflowSpread.
+           |Contended-window filter (round 5): a pure-CPU host probe (32
+           |spinning threads, no allocation) BRACKETS every (lo,hi) fork
+           |pair; a pair whose pre- or post-probe scaling efficiency is
+           |below 0.8 was measured while the shared host was contended and
+           |is rejected + re-run (bounded at 2x the fork budget). Samples
+           |above are the ACCEPTED pairs; rejected this run: full loop
+           |$crawlRejected%d, dataflow $dataflowRejected%d.
            |
            |The full-loop number includes per-round snapshot-commit IO and
            |driver orchestration, which on a single shared box (one disk, one
@@ -565,7 +637,7 @@ object Bench {
         Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
       }
 
-      f""","urls_per_sec_local8":${u8}%.2f,"urls_per_sec_local32":${u32}%.2f,"scaling_efficiency":${eff}%.4f,"dataflow_urls_per_sec_local8":${d8}%.2f,"dataflow_urls_per_sec_local32":${d32}%.2f,"dataflow_scaling_efficiency":${deff}%.4f,"crawl_samples_lo":$cs8,"crawl_samples_hi":$cs32,"dataflow_samples_lo":$dfs8,"dataflow_samples_hi":$dfs32"""
+      f""","urls_per_sec_local8":${u8}%.2f,"urls_per_sec_local32":${u32}%.2f,"scaling_efficiency":${eff}%.4f,"dataflow_urls_per_sec_local8":${d8}%.2f,"dataflow_urls_per_sec_local32":${d32}%.2f,"dataflow_scaling_efficiency":${deff}%.4f,"crawl_samples_lo":$cs8,"crawl_samples_hi":$cs32,"dataflow_samples_lo":$dfs8,"dataflow_samples_hi":$dfs32,"crawl_rejected_forks":$crawlRejected%d,"dataflow_rejected_forks":$dataflowRejected%d"""
     }
 
     println(

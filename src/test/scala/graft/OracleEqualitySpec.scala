@@ -62,13 +62,14 @@ class OracleEqualitySpec extends AnyFunSuite with SparkTestSession {
       broadcastFetchMaxBudget: Int = 65536,
       exactAntiBroadcastMaxRows: Long = 500000L,
       robotsBroadcastMaxHosts: Long = 1000000L,
-      robotsTable: org.apache.spark.sql.DataFrame = null): Unit = {
+      robotsTable: org.apache.spark.sql.DataFrame = null,
+      pages: org.apache.spark.sql.DataFrame = null): Unit = {
     val cfg = CrawlConfig(buckets = 16, roundBudget = budget, maxDepth = 10,
       broadcastFetchMaxBudget = broadcastFetchMaxBudget,
       exactAntiBroadcastMaxRows = exactAntiBroadcastMaxRows,
       robotsBroadcastMaxHosts = robotsBroadcastMaxHosts)
     val dir = tmpDir(s"oracle-$tag")
-    Crawler.crawl(spark, dir, pagesDf,
+    Crawler.crawl(spark, dir, Option(pages).getOrElse(pagesDf),
       Option(robotsTable).getOrElse(robotsDf), seeds, cfg, rounds)
     val ocfg = OracleCrawler.Cfg(budget = budget, maxDepth = 10)
     val (ost, osnaps) = OracleCrawler.crawl(seeds, pagesMap, robotsMap, ocfg, rounds)
@@ -184,6 +185,22 @@ class OracleEqualitySpec extends AnyFunSuite with SparkTestSession {
     // the oracle runs the plain robots map — full engine ≡ oracle equality
     compareCrawl(discovered, budget = 40, rounds = 5, tag = "c7",
       robotsTable = robotsAug)
+  }
+
+  test("crawl equality — config 8: url-bucketed+sorted pages table (merge arm)") {
+    // the bucketed corpus layout the fetch SMJ's scale story relies on
+    // (shuffle/sort-free on the pages side — plan-asserted in PlanSpec),
+    // crossed END TO END: the same crawl over a CLUSTERED BY (url) SORTED BY
+    // (url) catalog table must equal the oracle exactly, with the merge arm
+    // forced (broadcast gate 0) so every fetch goes through the bucketed SMJ
+    val dir = tmpDir("oracle-c8-bucketed")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    pagesDf.repartition(8, col("url"))
+      .write.bucketBy(8, "url").sortBy("url")
+      .option("path", s"$dir/pages_b").mode("overwrite").saveAsTable("oracle_c8_pages")
+    try compareCrawl(SyntheticWeb.seeds(web, 10), budget = 40, rounds = 4, tag = "c8",
+      broadcastFetchMaxBudget = 0, pages = spark.table("oracle_c8_pages"))
+    finally spark.sql("DROP TABLE IF EXISTS oracle_c8_pages")
   }
 
   test("crawl equality — config 3: 25 seeds with dupes + messy forms, K=60, 5 rounds") {

@@ -84,6 +84,50 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.sql("DROP TABLE IF EXISTS plan_spec_pages")
   }
 
+  test("bucketed url_seen: D3 distributed arm has no exchange/sort on the seen side") {
+    import spark.implicits._
+    // the storage-partitioned-join claim at CrawlRound's D3 doc (seen
+    // bucketed by the key at contract scale ⇒ the distributed anti-join arm
+    // is co-located, no shuffle on seen), witnessed: url_seen written
+    // bucketed+sorted by surt, one file per bucket
+    val dir = tmpDir("bucketed-seen")
+    val seen = (1L to 1000L by 2).map(i => (f"s$i%04d", i)).toDF("surt", "url_hash")
+    seen.repartition(8, col("surt"))
+      .write.bucketBy(8, "surt").sortBy("surt")
+      .option("path", s"$dir/seen_b").mode("overwrite").saveAsTable("plan_spec_seen")
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // model at-scale stats: nothing auto-broadcasts (same move as the D3
+      // gate test above)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val needExact = (1L to 500L).map(i => (f"s$i%04d", i)).toDF("surt", "url_hash")
+      val anti = graft.plans.CrawlRound.exactAntiJoin(
+        needExact, spark.table("plan_spec_seen"), viaBroadcast = false)
+      // executed plan: exchanges/sorts are inserted by EnsureRequirements,
+      // which sparkPlan predates; take the final (post-AQE) section only
+      val plan = executed(anti).split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin") && plan.contains("LeftAnti"),
+        s"expected an SMJ anti-join:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"seen scan is not bucketed:\n$plan")
+      // exactly ONE exchange and ONE sort in the whole plan — both on the
+      // probe side (it must co-partition/co-order with the 8 buckets); the
+      // bucketed seen scan feeds the join directly
+      assert("Exchange".r.findAllIn(plan).length == 1,
+        s"expected exactly one exchange (probe side only):\n$plan")
+      assert(" Sort \\[".r.findAllIn(plan).length == 1,
+        s"expected exactly one sort (probe side only):\n$plan")
+      // membership unchanged by the layout
+      val viaBucketed = anti.select("surt").as[String].collect().sorted.toSeq
+      val viaPlain = graft.plans.CrawlRound.exactAntiJoin(needExact, seen, viaBroadcast = false)
+        .select("surt").as[String].collect().sorted.toSeq
+      assert(viaBucketed == viaPlain && viaBucketed.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+      spark.sql("DROP TABLE IF EXISTS plan_spec_seen")
+    }
+  }
+
   test("broadcast fetch arm: BroadcastHashJoin, no exchange on pages") {
     import spark.implicits._
     val pages = graft.sources.SyntheticWeb.pages(
