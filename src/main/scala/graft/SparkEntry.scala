@@ -641,6 +641,16 @@ object SparkEntry {
       Graph.dedupClusters(pairs).orderBy("doc_id")
     }),
 
+    // same clustering through the large-star/small-star arm (round 5 —
+    // logarithmic-round CC for chain-shaped pair graphs); identical output
+    // contract, same DuckDB recursive-CTE oracle
+    "q_dedup_clusters_stars" -> ((s, dir) => {
+      val pairs = nearDupPairs(s.read.parquet(t(dir, "documents")))
+        .where(col("jaccard") >= 0.5)
+        .select("a", "b")
+      Graph.dedupClusters(pairs, algorithm = "stars").orderBy("doc_id")
+    }),
+
     // ---- cross-set entity matching with attribute transfer (the
     // reference's match.py capability transposed; SURVEY §0.4): every
     // customer matched against its order-aggregate entity, B attributes
@@ -717,6 +727,18 @@ object SparkEntry {
       val media = Multimodal.asMedia(s, s.read.parquet(t(dir, "documents")), "doc_id", "text")
       Multimodal.sampleFrames(media, 4).toDF()
         .orderBy("media_id", "frame_idx")
+    }),
+
+    // ---- the multimodal RESIZE step (round 5): real decode (from-scratch
+    // BMP/PNG/GIF codecs, JDK JPEG) → bilinear downscale → real PNG
+    // re-encode; binary output pinned by its xxhash64 so the rows-only
+    // check still covers byte determinism ----
+    "q_multimodal_thumbs" -> ((s, dir) => {
+      val media = Multimodal.asMedia(s, s.read.parquet(t(dir, "documents")), "doc_id", "text")
+      Multimodal.thumbnails(media, maxW = 8, maxH = 8).toDF()
+        .select(col("media_id"), col("src_width"), col("src_height"),
+          col("width"), col("height"), xxhash64(col("png")).as("png_xxh64"))
+        .orderBy("media_id")
     }),
 
     // ---- J5: hot-key salted join (output ≡ plain join; salt is internal) ----
@@ -1019,6 +1041,32 @@ object SparkEntry {
     // reachable over the symmetrized edge relation — exactly the hash-min
     // fixpoint the engine's distributed label propagation converges to
     "q_dedup_clusters" -> ("""
+      WITH RECURSIVE t AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct([array_to_string(toks[i+1:i+3], ' ')
+                                      for i in range(0, greatest(len(toks)-3, 0) + 1)]) AS s
+        FROM t),
+      pairs AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE cast(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.5),
+      und AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+      reach(id, r) AS (
+        SELECT u, u FROM und
+        UNION
+        SELECT reach.id, und.v FROM reach JOIN und ON und.u = reach.r),
+      cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      sz AS (SELECT cluster_id, cast(count(*) AS BIGINT) AS cluster_size
+             FROM cc GROUP BY cluster_id)
+      SELECT cc.id AS doc_id, cc.cluster_id, sz.cluster_size,
+             cc.id = cc.cluster_id AS keep
+      FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id"""),
+
+    // the stars arm must produce the IDENTICAL clustering — same oracle
+    "q_dedup_clusters_stars" -> ("""
       WITH RECURSIVE t AS (
         SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
         FROM documents),

@@ -98,6 +98,57 @@ class GraphSpec extends AnyFunSuite with SparkTestSession {
     full.release()
   }
 
+  test("connectedComponentsStars ≡ hash-min ≡ union-find on randomized graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val n = 150 + trial * 120
+      val edges = Seq.fill(n)((rnd.nextInt(140).toLong, rnd.nextInt(140).toLong))
+        .filter { case (a, b) => a != b }
+      val r = Graph.connectedComponentsStars(edges.toDF("a", "b"))
+      val got = r.components.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      r.release()
+      assert(r.converged, s"trial $trial must converge")
+      assert(got == ufComponents(edges), s"trial $trial")
+    }
+  }
+
+  test("stars arm converges logarithmically where hash-min hits its iteration cap") {
+    import spark.implicits._
+    // a 200-vertex path: diameter 199 — hash-min at maxIter=20 MUST cut off,
+    // the star rounds shortcut exponentially and finish in a handful
+    val chain = (0L until 200L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val hm = Graph.connectedComponentsWithStatus(chain.toDF("a", "b"), maxIter = 20)
+    hm.release()
+    assert(!hm.converged, "hash-min cannot finish a 199-diameter chain in 20 supersteps")
+    val st = Graph.connectedComponentsStars(chain.toDF("a", "b"), maxRounds = 20)
+    val got = st.components.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    st.release()
+    assert(st.converged, "star rounds must reach the fixpoint")
+    assert(st.iters <= 10, s"star rounds should be ~log(diameter), got ${st.iters}")
+    assert(got.size == 200 && got.values.forall(_ == 0L))
+    // and an unconverged stars cutoff is flagged + sound, like hash-min
+    val cut = Graph.connectedComponentsStars(chain.toDF("a", "b"), maxRounds = 1)
+    val cutLabels = cut.components.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    cut.release()
+    assert(!cut.converged && cut.iters == 1)
+    assert(cutLabels.forall { case (id, comp) => comp <= id && comp >= 0L })
+  }
+
+  test("dedupClusters(algorithm = stars) matches the hash-min clustering") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L))
+    val a = Graph.dedupClusters(pairs.toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val b = Graph.dedupClusters(pairs.toDF("a", "b"), algorithm = "stars")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Graph.dedupClusters(pairs.toDF("a", "b"), algorithm = "nope")
+    }
+  }
+
   test("dedupClusters surfaces non-convergence: warn-and-return or throw") {
     import spark.implicits._
     val chain = (0L until 30L).sliding(2).map(s => (s(0), s(1))).toSeq

@@ -280,25 +280,81 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
-  test("asMedia emits real containers for audio/video/even-id image; odd image stays fallback") {
+  test("asMedia: real WAV/MP4 containers; image rows cycle BMP/PNG/GIF/raw with real pixel stats") {
     import spark.implicits._
     val df = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"), (5L, "five"),
-      (6L, "six pixels worth of text"))
+      (6L, "six pixels worth of text"), (9L, "nine"), (12L, "twelve's payload bytes"))
       .toDF("id", "payload")
     val out = Multimodal.decode(
       Multimodal.asMedia(spark, df, "id", "payload")).collect().sortBy(_.media_id)
     val byId = out.map(o => o.media_id -> o).toMap
-    // kind by id % 3: 1→audio, 2→video, 3→image
+    // kind by id % 3: 1→audio, 2→video, 0→image
     assert(byId(1L).container == "wav" && byId(1L).channels == 2 && byId(1L).ok)
     assert(byId(1L).n_samples > 0, "wav rows must carry real PCM stats")
     assert(byId(4L).container == "wav" && byId(4L).channels == 1)
     assert(byId(2L).container == "mp4" && byId(2L).width == 640
       && byId(2L).duration_ms == 1500L)
     assert(byId(5L).container == "mp4" && byId(5L).duration_ms == 2250L)
-    assert(byId(3L).container == "unknown" && byId(3L).ok, "odd image keeps the fallback path")
-    // even image id: a REAL decodable BMP with genuine pixel statistics
-    assert(byId(6L).container == "bmp" && byId(6L).width == 10 && byId(6L).height == 4)
-    assert(byId(6L).n_samples == 10L * 4 * 3 && byId(6L).sample_peak > 0)
+    // image variant cycles by (id/3) % 4: BMP, PNG, GIF, raw fallback —
+    // all three real encoders decode back with genuine pixel statistics
+    assert(byId(12L).container == "bmp" && byId(12L).width == 8 && byId(12L).height == 5)
+    assert(byId(12L).n_samples == 8L * 5 * 3 && byId(12L).sample_peak > 0)
+    assert(byId(3L).container == "png" && byId(3L).width == 7 && byId(3L).height == 6)
+    assert(byId(3L).n_samples == 7L * 6 * 3 && byId(3L).sample_peak > 0,
+      "png rows must decode through the from-scratch inflate+unfilter path")
+    assert(byId(6L).container == "gif" && byId(6L).width == 10 && byId(6L).height == 4)
+    assert(byId(6L).n_samples == 10L * 4 * 3 && byId(6L).sample_peak > 0,
+      "gif rows must decode through the from-scratch LZW path")
+    assert(byId(9L).container == "unknown" && byId(9L).ok, "every 4th image keeps the fallback path")
+  }
+
+  test("thumbnails: real decode → bilinear resize → real PNG, aspect preserved") {
+    import spark.implicits._
+    import graft.operators.PixelCodecs
+    val const = Array.fill(3)(100.toByte) // tiles to a constant-color image
+    val media = Seq(
+      Media(1L, "image", Multimodal.ContainerCodec.bmp(const, width = 16, height = 8)),
+      Media(2L, "image", Multimodal.ContainerCodec.png(const, width = 4, height = 4)),
+      Media(3L, "image", "not an image".getBytes("UTF-8")),
+      Media(4L, "audio", Multimodal.ContainerCodec.wav(const, 1, 8000))).toDS()
+    val thumbs = Multimodal.thumbnails(media, maxW = 8, maxH = 8)
+      .collect().sortBy(_.media_id)
+    // only the two decodable images produce thumbs
+    assert(thumbs.map(_.media_id).toSeq == Seq(1L, 2L))
+    // 16x8 fits an 8x8 box at scale 0.5 → 8x4; 4x4 is already inside → untouched
+    assert(thumbs(0).src_width == 16 && thumbs(0).src_height == 8 &&
+      thumbs(0).width == 8 && thumbs(0).height == 4)
+    assert(thumbs(1).width == 4 && thumbs(1).height == 4)
+    // the thumb PNG is a REAL image: decodes through the from-scratch
+    // decoder with the right dims and the constant color preserved exactly
+    val back = PixelCodecs.Png.decode(thumbs(0).png).getOrElse(fail("thumb png undecodable"))
+    assert(back.width == 8 && back.height == 4 && back.channels == 3)
+    assert(back.pixels.forall(_ == 100.toByte), "constant image must thumbnail to itself")
+    // determinism
+    val again = Multimodal.thumbnails(media, maxW = 8, maxH = 8).collect().sortBy(_.media_id)
+    assert(again(0).png.toSeq == thumbs(0).png.toSeq)
+  }
+
+  test("extractFeatures: real pooled luma for images, real PCM window-RMS for wav") {
+    import spark.implicits._
+    // constant 100-gray image → every pooled-luma cell is exactly 100/255
+    val img = Multimodal.ContainerCodec.bmp(Array.fill(3)(100.toByte), width = 9, height = 7)
+    // constant-amplitude PCM (+1000) → every window RMS is exactly 1000/32768
+    val pcm = Array.fill(64)(Seq(0xe8.toByte, 0x03.toByte)).flatten.toArray
+    val wav = Multimodal.ContainerCodec.wav(pcm, channels = 1, sampleRate = 8000)
+    val media = Seq(
+      Media(1L, "image", img),
+      Media(2L, "audio", wav),
+      Media(3L, "image", "no decode path".getBytes("UTF-8"))).toDS()
+    val f = Multimodal.extractFeatures(media, dim = 16).collect().sortBy(_.media_id)
+      .map(x => x.media_id -> x.feature).toMap
+    assert(f(1L).forall(v => math.abs(v - 100f / 255f) < 1e-6f), f(1L).toSeq.toString)
+    assert(f(2L).length == 16 && f(2L).forall(v => math.abs(v - 1000f / 32768f) < 1e-6f))
+    // stub fallback stays deterministic and in [0,1)
+    assert(f(3L).forall(v => v >= 0f && v < 1f))
+    val again = Multimodal.extractFeatures(media, dim = 16).collect()
+      .sortBy(_.media_id).map(_.feature.toSeq).toSeq
+    assert(again == f.toSeq.sortBy(_._1).map(_._2.toSeq))
   }
 
   test("feature extraction and frame sampling keep their shapes") {
