@@ -710,9 +710,10 @@ object SparkEntry {
     }),
 
     // ---- multimodal: header metadata REAL for PNG/GIF/BMP/JPEG/WAV/MP4;
-    // pixel/sample statistics REAL for BMP + 16-bit PCM WAV (round 5 — raw
-    // after the header, no codec lib needed); JPEG/PNG/GIF/MP4 payload
-    // decode remains the documented stub ----
+    // pixel/sample statistics REAL for BMP, 16-bit PCM WAV, PNG, GIF and
+    // JPEG (PixelCodecs — from-scratch PNG/GIF decoders, JDK ImageIO for
+    // JPEG); only MP4 SAMPLE decode remains the documented stub (H.264/AAC
+    // need codec libs no JDK ships) ----
     "q_multimodal_decode" -> ((s, dir) => {
       import s.implicits._
       val media = Multimodal.asMedia(s, s.read.parquet(t(dir, "documents")), "doc_id", "text")

@@ -160,8 +160,16 @@ object Graph {
       aCol: String = "a",
       bCol: String = "b",
       maxRounds: Int = 50): CCResult = {
-    val e = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
+    val raw = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    // every endpoint — INCLUDING vertices whose only edges are self-loops,
+    // which the a ≠ b filter below removes from the edge set: the output
+    // contract is "(id, comp) over every edge endpoint", same as the
+    // hash-min arm, so those vertices must re-enter as their own singleton
+    // components at the end rather than silently vanish
+    val verts = raw.select(col("a").as("id")).unionAll(raw.select(col("b").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    val e = raw.filter(col("a") =!= col("b"))
     // canonical high→low edge set; `distinct` gives the set semantics the
     // star operations assume
     var cur = e.select(greatest(col("a"), col("b")).as("hi"),
@@ -200,10 +208,15 @@ object Graph {
     // it is the hash-min-style sound under-approximation.
     val undF = cur.select(col("hi").as("s"), col("lo").as("d"))
       .unionAll(cur.select(col("lo").as("s"), col("hi").as("d")))
-    val comps = undF.groupBy("s").agg(min("d").as("mn"))
+    val labeled = undF.groupBy("s").agg(min("d").as("mn"))
       .select(col("s").as("id"), least(col("mn"), col("s")).as("comp"))
+    // re-attach vertices the a ≠ b filter removed entirely (self-loop-only
+    // endpoints): they label themselves, matching the hash-min arm
+    val comps = verts.join(labeled, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
       .localCheckpoint(true)
     releaseCheckpoint(cur)
+    releaseCheckpoint(verts)
     CCResult(comps, converged, round)
   }
 

@@ -135,8 +135,13 @@ object Match {
       .select(col(side),
         posexplode(bandsUdf(minhashUdf(col("sh"), lit(m)), lit(bands), lit(r)))
           .as(Seq("band_idx", "band_hash")))
-    val ba = banded(a, "a_id")
-    val bb = banded(b, "b_id")
+    // each side's banded frame is referenced twice (count aggregation +
+    // semi-join/expansion) — persist across the references and cut the
+    // bounded candidate set eagerly below, so the shingle+minhash UDFs (the
+    // dominant CPU) run once per row, not once per reference (the agg-side
+    // and join-side exchanges differ, so Catalyst cannot reuse them)
+    val ba = banded(a, "a_id").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bb = banded(b, "b_id").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandKeys = Seq("band_idx", "band_hash")
     // count-first cap: per-side bucket sizes as plain counts (each id emits
     // each band_idx once, so rows-per-bucket = distinct ids). The per-side
@@ -152,10 +157,13 @@ object Match {
     // expansion is a plain ids-only equi-join on the surviving band keys:
     // per-bucket output is na×nb ≤ maxBucketPairs rows by the filter above,
     // and no task ever holds more than a join buffer of one bucket's side
-    val cand = ba.join(okKeys, bandKeys, "left_semi")
-      .join(bb.join(okKeys, bandKeys, "left_semi"), bandKeys)
-      .select("a_id", "b_id")
-      .distinct()
+    val cand =
+      try ba.join(okKeys, bandKeys, "left_semi")
+        .join(bb.join(okKeys, bandKeys, "left_semi"), bandKeys)
+        .select("a_id", "b_id")
+        .distinct()
+        .localCheckpoint(true) // ≤ buckets × maxBucketPairs rows by the cap
+      finally { ba.unpersist(); bb.unpersist() }
     val sha = a.select(col(idCol).as("a_id"), shinglesUdf(col(textCol), lit(k)).as("sha"))
     val shb = b.select(col(idCol).as("b_id"), shinglesUdf(col(textCol), lit(k)).as("shb"))
     cand.join(sha, Seq("a_id")).join(shb, Seq("b_id"))

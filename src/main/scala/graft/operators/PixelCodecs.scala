@@ -74,7 +74,10 @@ object PixelCodecs {
       var sawIhdr = false; var sawIend = false
       while (i + 12 <= b.length && !sawIend) {
         val len = be32(b, i).toInt
-        if (len < 0 || i + 12 + len > b.length) return None
+        // bound check in Long: a hostile length near 2^31 would wrap
+        // `i + 12 + len` negative and pass an Int comparison, then throw
+        // out-of-bounds in the CRC update instead of returning None
+        if (len < 0 || i.toLong + 12L + len > b.length) return None
         val typ = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
         val crc = new CRC32(); crc.update(b, i + 4, 4 + len)
         if (crc.getValue != be32(b, i + 8 + len)) return None
@@ -107,6 +110,11 @@ object PixelCodecs {
         case _ => return None
       }
       val outCh = if (color == 3) 3 else cpp
+      // two-step cap so the product cannot overflow Long: w,h < 2^31 keeps
+      // w*h < 2^62; only once that is ≤ maxPixelBytes (≤ 2^31) is the
+      // ×outCh (≤ 4) product formed — a w=h=2^31-1 header would otherwise
+      // wrap the single triple product past Long and defeat the cap
+      if (w.toLong * h > maxPixelBytes) return None
       if (w.toLong * h * outCh > maxPixelBytes) return None
 
       // expected raw (filtered) byte count over all passes; empty passes
@@ -116,7 +124,10 @@ object PixelCodecs {
         val (xs, ys, xst, yst) = p
         (math.max(0, (w - xs + xst - 1) / xst), math.max(0, (h - ys + yst - 1) / yst))
       }
-      def lineBytes(pw: Int): Int = (pw * cpp * depth + 7) / 8
+      // Long arithmetic: pw·cpp·depth can exceed Int for a caller-raised
+      // maxPixelBytes (pw up to 2^31 with h=1); the rawLen ≤ Int.MaxValue
+      // check below then rejects before any Int narrowing
+      def lineBytes(pw: Int): Long = (pw.toLong * cpp * depth + 7) / 8
       val rawLen = passes.map { p =>
         val (pw, ph) = passDims(p)
         if (pw == 0 || ph == 0) 0L else ph.toLong * (1 + lineBytes(pw))
@@ -150,7 +161,7 @@ object PixelCodecs {
       passes.foreach { case pass @ (xs, ys, xst, yst) =>
         val (pw, ph) = passDims(pass)
         if (pw > 0 && ph > 0) {
-          val lb = lineBytes(pw)
+          val lb = lineBytes(pw).toInt // safe: 1+lb ≤ rawLen ≤ Int.MaxValue
           val prev = new Array[Byte](lb)
           val cur = new Array[Byte](lb)
           var row = 0

@@ -152,11 +152,20 @@ object Similarity {
       .select(col("qid"), col("vec_id"),
         bit_count(col("bucket").bitwiseXOR(col("qb"))).as("hd"),
         round(cosineUdf(col("v"), col("qv")), 6).as("cos"))
+    // both rankings in ONE window pass over the (qid, cos desc, vec_id)
+    // order — the corpus × queries join and the cosine kernel really do run
+    // once: `rk` ranks all candidates, the running conditional sum `prk` is
+    // exactly the rank among hd ≤ 1 rows for a row that itself has hd ≤ 1,
+    // so (rk ≤ k) ∧ (hd ≤ 1 ∧ prk ≤ k) ≡ brute-force-top-k ∩ probed-top-k
+    // (the former two-branch topK-join evaluated the unpersisted cross
+    // join + cosine twice — once per branch)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
-    def topK(df: DataFrame) = df
-      .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
-      .select("qid", "vec_id")
-    val hits = topK(scored).join(topK(scored.where(col("hd") <= 1)), Seq("qid", "vec_id"))
+    val ranked = scored
+      .withColumn("rk", row_number().over(w))
+      .withColumn("prk", sum(when(col("hd") <= 1, 1L).otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val hits = ranked
+      .where(col("rk") <= k && col("hd") <= 1 && col("prk") <= k)
       .groupBy("qid").agg(count(lit(1)).as("n_hits"))
     queries.select("qid").join(hits, Seq("qid"), "left")
       .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))

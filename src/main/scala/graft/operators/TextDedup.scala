@@ -125,13 +125,22 @@ object TextDedup {
       .select(col("id"),
         posexplode(bandsUdf(minhashUdf(col("sh"), lit(m)), lit(bands), lit(rows)))
           .as(Seq("band_idx", "band_hash")))
-    // count-first cap: [[capBuckets]] pre-aggregates bucket SIZES (scalable
-    // hash agg, map-side combine) and semi-joins the oversized and size-1
-    // buckets away BEFORE any list materializes — every surviving collect
-    // buffer is ≤ maxBucket ids by construction (each doc emits each
-    // band_idx at most once, so rows-per-bucket = distinct ids).
-    // Then each ordered pair (a < b) within a bucket, generated once per
-    // bucket: flatten(transform(ids, (x,i) -> pairs of x with later ids)).
+    evaluatedOnce(banded)(minhashCandidatesFromBanded(_, maxBucket))
+  }
+
+  /** The lazy candidate plan over an (id, band_idx, band_hash) frame —
+    * separated so plan-shape tests can assert the count-first cap sits
+    * below the collect without the [[evaluatedOnce]] checkpoint hiding it.
+    *
+    * Count-first cap: [[capBuckets]] pre-aggregates bucket SIZES (scalable
+    * hash agg, map-side combine) and semi-joins the oversized and size-1
+    * buckets away BEFORE any list materializes — every surviving collect
+    * buffer is ≤ maxBucket ids by construction (each doc emits each
+    * band_idx at most once, so rows-per-bucket = distinct ids).
+    * Then each ordered pair (a < b) within a bucket, generated once per
+    * bucket: flatten(transform(ids, (x,i) -> pairs of x with later ids)).
+    */
+  private[graft] def minhashCandidatesFromBanded(banded: DataFrame, maxBucket: Int): DataFrame =
     capBuckets(banded, Seq("band_idx", "band_hash"), maxBucket)
       .groupBy("band_idx", "band_hash")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
@@ -140,7 +149,6 @@ object TextDedup {
           struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
-  }
 
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification:
     * [[minhashCandidates]] plus re-attaching the two shingle sets by id for
@@ -214,6 +222,22 @@ object TextDedup {
     banded.join(ok, keys, "left_semi")
   }
 
+  /** Evaluate an expensive banded/bucketed frame ONCE across the count-first
+    * cap's two references (count aggregation + semi-join probe) and any
+    * downstream self-join's two more: persist it, materialize the — bounded
+    * by construction — pair/candidate output eagerly, release the cache.
+    * Without this the UDF subtree under `expensive` (shingles + minhash /
+    * simhash / LSH bucketing, the dominant CPU of the dedup path) re-runs
+    * once per reference — Catalyst cannot reuse the exchange because the
+    * aggregation side exchanges partial-agg rows while the join side
+    * exchanges raw rows. The eager cut also truncates lineage, as the
+    * iterated graph ops already do.
+    */
+  private[graft] def evaluatedOnce(expensive: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
+    val cached = expensive.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try body(cached).localCheckpoint(true) finally cached.unpersist()
+  }
+
   /** SimHash near-dup pairs over a (id, sim) frame: band bucketing with
     * maxDist+1 bands (exact recall by pigeonhole — see [[simhashBands]]),
     * verified by exact hamming distance. Band buckets above `maxBucket` are
@@ -232,15 +256,17 @@ object TextDedup {
           (shiftrightunsigned(col("sim"), start) bitwiseAND lit(mask)).as("band_val"))
       }: _*)).as("bd"))
       .select(col("id"), col("sim"), col("bd.band_idx"), col("bd.band_val"))
-    val kept = capBuckets(banded, Seq("band_idx", "band_val"), maxBucket)
-    val l = kept.select(col("id").as("a"), col("sim").as("sima"), col("band_idx"), col("band_val"))
-    val r = kept.select(col("id").as("b"), col("sim").as("simb"), col("band_idx"), col("band_val"))
-    l.join(r, Seq("band_idx", "band_val"))
-      .where(col("a") < col("b"))
-      .select("a", "b", "sima", "simb").distinct()
-      .withColumn("hamming", hammingUdf(col("sima"), col("simb")))
-      .where(col("hamming") <= maxDist)
-      .select("a", "b", "hamming")
+    evaluatedOnce(banded) { bd =>
+      val kept = capBuckets(bd, Seq("band_idx", "band_val"), maxBucket)
+      val l = kept.select(col("id").as("a"), col("sim").as("sima"), col("band_idx"), col("band_val"))
+      val r = kept.select(col("id").as("b"), col("sim").as("simb"), col("band_idx"), col("band_val"))
+      l.join(r, Seq("band_idx", "band_val"))
+        .where(col("a") < col("b"))
+        .select("a", "b", "sima", "simb").distinct()
+        .withColumn("hamming", hammingUdf(col("sima"), col("simb")))
+        .where(col("hamming") <= maxDist)
+        .select("a", "b", "hamming")
+    }
   }
 
   /** SimHash near-dup pairs: exact-recall banding for the requested
@@ -271,11 +297,13 @@ object TextDedup {
     val bucketed = base
       .withColumn("bucket", Similarity.lshBucketUdf(col("v"), lit(planes)))
       .select("id", "bucket")
-    val kept = capBuckets(bucketed, Seq("bucket"), maxBucket)
-    val pairs = kept.select(col("id").as("a"), col("bucket"))
-      .join(kept.select(col("id").as("b"), col("bucket")), Seq("bucket"))
-      .where(col("a") < col("b"))
-      .select("a", "b").distinct()
+    val pairs = evaluatedOnce(bucketed) { bk =>
+      val kept = capBuckets(bk, Seq("bucket"), maxBucket)
+      kept.select(col("id").as("a"), col("bucket"))
+        .join(kept.select(col("id").as("b"), col("bucket")), Seq("bucket"))
+        .where(col("a") < col("b"))
+        .select("a", "b").distinct()
+    }
     pairs
       .join(base.select(col("id").as("a"), col("v").as("va")), Seq("a"))
       .join(base.select(col("id").as("b"), col("v").as("vb")), Seq("b"))

@@ -264,8 +264,13 @@ object CrawlRound {
 
     // idempotent replay fast path (round 5): a round-committed version is
     // atomic — ONE probe answers for all four tables, and the counters are
-    // read back from the manifest instead of recomputing the round
-    RoundLog.manifest(stateDir, version) match {
+    // read back from the manifest instead of recomputing the round.
+    // alreadyCommitted (not a bare manifest read) so a stale CURRENT left
+    // by a crash between the manifest move and the pointer advance is
+    // repaired forward here too, as the per-table replay path always did —
+    // a direct run(round = v) caller must not report v complete while
+    // readers still resolve the latest version to v-1
+    RoundLog.alreadyCommitted(stateDir, version) match {
       case Some(rm) =>
         val c = rm.tables.valuesIterator.map(_.counters).nextOption().getOrElse(Map.empty)
         return RoundCounters(round,

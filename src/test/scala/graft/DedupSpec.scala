@@ -80,7 +80,14 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     // L2: the plan's collect_list aggregate must have the cap's LEFT-SEMI
     // join underneath it — the oversized bucket is gone BEFORE any list
     // aggregation buffer can materialize it
-    val l2 = TextDedup.minhashCandidates(docs, "doc_id", "text", maxBucket = 10)
+    // the plan builder, pre-checkpoint: minhashCandidates wraps this in
+    // evaluatedOnce (persist + eager cut), which would hide the shape
+    val banded = docs
+      .select(col("doc_id").as("id"), TextDedup.shinglesUdf(col("text"), lit(3)).as("sh"))
+      .select(col("id"),
+        posexplode(TextDedup.bandsUdf(TextDedup.minhashUdf(col("sh"), lit(64)), lit(16), lit(4)))
+          .as(Seq("band_idx", "band_hash")))
+    val l2 = TextDedup.minhashCandidatesFromBanded(banded, maxBucket = 10)
       .queryExecution.optimizedPlan
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     import org.apache.spark.sql.catalyst.plans.LeftSemi

@@ -113,6 +113,20 @@ class GraphSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("stars arm keeps self-loop-only vertices, matching the hash-min arm") {
+    import spark.implicits._
+    // vertex 5's only edge is (5,5); vertex 9 has a self-loop AND a real
+    // edge — both arms must emit every edge endpoint, self-loops included
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 5L), (9L, 9L), (9L, 1L)).toDF("a", "b")
+    val stars = Graph.connectedComponentsStars(edges)
+    val hashmin = Graph.connectedComponentsWithStatus(edges)
+    val s = stars.components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hm = hashmin.components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    stars.release(); hashmin.release()
+    assert(s == hm, s"arms diverged: stars=$s hashmin=$hm")
+    assert(s == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 9L -> 1L))
+  }
+
   test("stars arm converges logarithmically where hash-min hits its iteration cap") {
     import spark.implicits._
     // a 200-vertex path: diameter 199 — hash-min at maxIter=20 MUST cut off,

@@ -356,4 +356,36 @@ class PixelCodecsSpec extends AnyFunSuite {
     assert(Jpeg.decode(jpg, maxPixelBytes = 10).isEmpty)
     assert(Jpeg.decode(Array[Byte](1, 2, 3)).isEmpty)
   }
+
+  // ------------------------------------------- hostile-input fail-closed
+
+  test("PNG hostile chunk length near 2^31 returns None, never throws") {
+    // a length field of 0x7FFFFFF0 used to wrap `i + 12 + len` negative,
+    // pass the Int bounds check, and throw AIOOBE in the CRC update —
+    // crawled media bytes are adversarial, the contract is None
+    val good = pngFromChunks(2, 2, Array[Byte](0, 1, 2, 3, 4, 5, 6, 0, 9, 9, 9, 9, 9, 9))
+    val evil = good.clone()
+    evil(8) = 0x7f.toByte; evil(9) = 0xff.toByte // overwrite IHDR length
+    evil(10) = 0xff.toByte; evil(11) = 0xf0.toByte
+    assert(Png.decode(evil).isEmpty)
+  }
+
+  test("PNG hostile IHDR dimensions near 2^31 return None (cap must not overflow)") {
+    // w = h = 0x7FFFFFFF with valid CRCs: w·h·outCh wraps Long past the
+    // raster cap; the two-step cap must reject before any allocation
+    def be32b(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      be32b(data.length) ++ typ.getBytes("US-ASCII") ++ data ++ be32b(crc.getValue)
+    }
+    for ((w, h) <- Seq((0x7fffffffL, 0x7fffffffL), (0x7fffffffL, 2L), (2L, 0x7fffffffL))) {
+      val evil = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        chunk("IHDR", be32b(w) ++ be32b(h) ++ Array[Byte](8, 6, 0, 0, 0)) ++
+        chunk("IDAT", Array(0x78, 0x9c, 3, 0, 0, 0, 0, 1).map(_.toByte)) ++
+        chunk("IEND", Array.emptyByteArray)
+      assert(Png.decode(evil).isEmpty, s"w=$w h=$h must fail closed")
+    }
+  }
 }
