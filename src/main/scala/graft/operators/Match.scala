@@ -127,41 +127,19 @@ object Match {
   def nearMatchByText(a: DataFrame, b: DataFrame, idCol: String, textCol: String,
       k: Int = 3, m: Int = 64, bands: Int = 32, threshold: Double = 0.5,
       maxBucketPairs: Int = 1000000): DataFrame = {
-    import TextDedup.{shinglesUdf, minhashUdf, bandsUdf, jaccardUdf}
+    import TextDedup.{shinglesUdf, jaccardUdf}
     require(m % bands == 0, s"bands=$bands must divide m=$m")
-    val r = m / bands
-    def banded(df: DataFrame, side: String) = df
-      .select(col(idCol).as(side), shinglesUdf(col(textCol), lit(k)).as("sh"))
-      .select(col(side),
-        posexplode(bandsUdf(minhashUdf(col("sh"), lit(m)), lit(bands), lit(r)))
-          .as(Seq("band_idx", "band_hash")))
     // each side's banded frame is referenced twice (count aggregation +
     // semi-join/expansion) — persist across the references and cut the
     // bounded candidate set eagerly below, so the shingle+minhash UDFs (the
     // dominant CPU) run once per row, not once per reference (the agg-side
     // and join-side exchanges differ, so Catalyst cannot reuse them)
-    val ba = banded(a, "a_id").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bb = banded(b, "b_id").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandKeys = Seq("band_idx", "band_hash")
-    // count-first cap: per-side bucket sizes as plain counts (each id emits
-    // each band_idx once, so rows-per-bucket = distinct ids). The per-side
-    // `≤ maxBucketPairs` guards BOTH the Long product (counts capped at
-    // 2^31-ish ⇒ product < 2^62, no overflow at any table size — the old
-    // size()-based filter needed an explicit cast for exactly this) AND the
-    // one-sided degenerate bucket whose partner side is tiny.
-    val okKeys = ba.groupBy(bandKeys.map(col): _*).agg(count(lit(1)).as("na"))
-      .join(bb.groupBy(bandKeys.map(col): _*).agg(count(lit(1)).as("nb")), bandKeys)
-      .where(col("na") <= maxBucketPairs.toLong && col("nb") <= maxBucketPairs.toLong &&
-        col("na") * col("nb") <= maxBucketPairs.toLong)
-      .select(bandKeys.map(col): _*)
-    // expansion is a plain ids-only equi-join on the surviving band keys:
-    // per-bucket output is na×nb ≤ maxBucketPairs rows by the filter above,
-    // and no task ever holds more than a join buffer of one bucket's side
+    val ba = bandedSide(a, "a_id", idCol, textCol, k, m, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bb = bandedSide(b, "b_id", idCol, textCol, k, m, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand =
-      try ba.join(okKeys, bandKeys, "left_semi")
-        .join(bb.join(okKeys, bandKeys, "left_semi"), bandKeys)
-        .select("a_id", "b_id")
-        .distinct()
+      try fuzzyCandidatePlan(ba, bb, maxBucketPairs)
         .localCheckpoint(true) // ≤ buckets × maxBucketPairs rows by the cap
       finally { ba.unpersist(); bb.unpersist() }
     val sha = a.select(col(idCol).as("a_id"), shinglesUdf(col(textCol), lit(k)).as("sha"))
@@ -174,6 +152,44 @@ object Match {
         col("b_id"), col("jaccard")).as("best"))
       .select(col("a_id"), col("best.b_id").as("b_id"),
         col("best.jaccard").as("jaccard"))
+  }
+
+  /** One side's (id, band_idx, band_hash) frame: shingle → minhash → bands. */
+  private[graft] def bandedSide(df: DataFrame, side: String, idCol: String,
+      textCol: String, k: Int, m: Int, bands: Int): DataFrame = {
+    import TextDedup.{shinglesUdf, minhashUdf, bandsUdf}
+    df.select(col(idCol).as(side), shinglesUdf(col(textCol), lit(k)).as("sh"))
+      .select(col(side),
+        posexplode(bandsUdf(minhashUdf(col("sh"), lit(m)), lit(bands), lit(m / bands)))
+          .as(Seq("band_idx", "band_hash")))
+  }
+
+  /** The LAZY candidate plan over two banded sides — separated so plan-shape
+    * tests and the plan dump can assert the count-first cap + ids-only
+    * expansion without [[nearMatchByText]]'s eager checkpoint hiding it.
+    *
+    * Count-first cap: per-side bucket sizes as plain counts (each id emits
+    * each band_idx once, so rows-per-bucket = distinct ids). The per-side
+    * `≤ maxBucketPairs` guards BOTH the Long product (counts capped at
+    * 2^31-ish ⇒ product < 2^62, no overflow at any table size — the old
+    * size()-based filter needed an explicit cast for exactly this) AND the
+    * one-sided degenerate bucket whose partner side is tiny. Expansion is a
+    * plain ids-only equi-join on the surviving band keys: per-bucket output
+    * is na×nb ≤ maxBucketPairs rows by the filter above, and no task ever
+    * holds more than a join buffer of one bucket's side.
+    */
+  private[graft] def fuzzyCandidatePlan(ba: DataFrame, bb: DataFrame,
+      maxBucketPairs: Int): DataFrame = {
+    val bandKeys = Seq("band_idx", "band_hash")
+    val okKeys = ba.groupBy(bandKeys.map(col): _*).agg(count(lit(1)).as("na"))
+      .join(bb.groupBy(bandKeys.map(col): _*).agg(count(lit(1)).as("nb")), bandKeys)
+      .where(col("na") <= maxBucketPairs.toLong && col("nb") <= maxBucketPairs.toLong &&
+        col("na") * col("nb") <= maxBucketPairs.toLong)
+      .select(bandKeys.map(col): _*)
+    ba.join(okKeys, bandKeys, "left_semi")
+      .join(bb.join(okKeys, bandKeys, "left_semi"), bandKeys)
+      .select("a_id", "b_id")
+      .distinct()
   }
 
   /** Keyed diff of two versions of the same relation: one row per key whose

@@ -98,9 +98,13 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(collectAggs.forall(_.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty),
       "a collect_list aggregate has no cap semi-join below it — the list materializes pre-cap")
     // J9: no list/set aggregation anywhere in the candidate path — the
-    // count-first rewrite expands buckets by equi-join, never by collect
-    val j9 = graft.operators.Match.nearMatchByText(
-        docs.limit(20), docs.limit(20), "doc_id", "text", threshold = 0.3)
+    // count-first rewrite expands buckets by equi-join, never by collect.
+    // Asserted on the lazy candidate plan builder: nearMatchByText cuts the
+    // candidate set eagerly (evaluate-banded-once), which would hide it.
+    val j9 = graft.operators.Match.fuzzyCandidatePlan(
+        graft.operators.Match.bandedSide(docs.limit(20), "a_id", "doc_id", "text", 3, 64, 32),
+        graft.operators.Match.bandedSide(docs.limit(20), "b_id", "doc_id", "text", 3, 64, 32),
+        maxBucketPairs = 1000000)
       .queryExecution.optimizedPlan
     assert(!j9.toString.contains("collect_set") && !j9.toString.contains("collect_list"),
       "J9 plan still materializes bucket id lists in an aggregation buffer")
