@@ -458,10 +458,14 @@ object Bench {
       // contended hi-forks at n=2). Attempts are bounded at 2× the requested
       // forks; if every window was contended the contended pairs are used
       // anyway and the rejection count is published with the samples.
+      // Hoisted so the generated report interpolates the ACTUAL filter
+      // config (on/off + threshold) instead of hardcoding it — prose that
+      // claims a filter ran when SPARK_GRAFT_BENCH_PROBE=0 disabled it
+      // would be false provenance in a published measurement.
+      val probeOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE", "1") == "1"
+      val probeMin = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_MIN", "0.8").toDouble
       def widthSeries(kind: String, forks: Int)
           : ((Double, Double), (Double, Double), Seq[((Double, Double), (Double, Double))], Int) = {
-        val probeOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE", "1") == "1"
-        val probeMin = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_MIN", "0.8").toDouble
         val maxAttempts = forks * 2
         val all = scala.collection.mutable.ArrayBuffer
           .empty[((Double, Double), (Double, Double), Boolean)]
@@ -569,13 +573,22 @@ object Bench {
            |full loop local[8] $cs8 local[32] $cs32; dataflow local[8] $dfs8
            |local[32] $dfs32.
            |Spread across forks: $crawlSpread; $dataflowSpread.
-           |Contended-window filter (round 5): a pure-CPU host probe (32
-           |spinning threads, no allocation) BRACKETS every (lo,hi) fork
-           |pair; a pair whose pre- or post-probe scaling efficiency is
-           |below 0.8 was measured while the shared host was contended and
-           |is rejected + re-run (bounded at 2x the fork budget). Samples
-           |above are the ACCEPTED pairs; rejected this run: full loop
-           |$crawlRejected%d, dataflow $dataflowRejected%d.
+           |${
+            if (probeOn)
+              f"""Contended-window filter (round 5): a pure-CPU host probe
+           |($hiCores%d spinning threads, no allocation) BRACKETS every
+           |(lo,hi) fork pair; a pair whose pre- or post-probe scaling
+           |efficiency is below $probeMin%.2f was measured while the shared
+           |host was contended and is rejected + re-run (bounded at 2x the
+           |fork budget; the threshold presumes the host has >= $hiCores%d
+           |physical cores, as this one does). Samples above are the
+           |ACCEPTED pairs; rejected this run: full loop
+           |$crawlRejected%d, dataflow $dataflowRejected%d.""".stripMargin
+            else
+              "Contended-window filter: DISABLED for this run " +
+                "(SPARK_GRAFT_BENCH_PROBE=0) — every fork pair was " +
+                "accepted without a host-contention bracket."
+          }
            |
            |The full-loop number includes per-round snapshot-commit IO and
            |driver orchestration, which on a single shared box (one disk, one

@@ -227,6 +227,13 @@ object Graph {
     * done — keeps working now that the internal frames are
     * localCheckpoint-backed; plan-composing callers use
     * [[connectedComponentsWithStatus]] + [[CCResult.release]] directly.
+    * Fault-tolerance caveat: the returned frame's lineage bottoms out in
+    * localCheckpoint blocks (released once the result is materialized), so
+    * on a multi-executor cluster an executor loss after return cannot
+    * recompute that executor's partitions — recovery is re-running the
+    * operator, the same non-fault-tolerant trade `localCheckpoint`
+    * itself makes (lost blocks fail the job even unreleased, since local
+    * checkpoints are never replicated).
     */
   def connectedComponents(
       edges: DataFrame,
@@ -264,7 +271,10 @@ object Graph {
     * The returned frame is PERSISTED and materialized here so the inner CC
     * cache can be dropped before returning (it was previously unreachable
     * for the session lifetime); callers unpersist the result when done,
-    * the same contract as [[pagerankMicro]].
+    * the same contract as [[pagerankMicro]]. As with
+    * [[connectedComponents]], executor loss after return is recovered by
+    * re-running the operator, not by lineage recompute (the lineage ends in
+    * released local-checkpoint blocks).
     */
   def dedupClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
       maxIter: Int = 20, requireConverged: Boolean = false,

@@ -252,22 +252,14 @@ object Multimodal {
       if (n <= 0) None
       else Some(Stats(n, sum.toDouble / n, math.sqrt(sumSq.toDouble / n), peak.toDouble))
 
-    /** Channel-byte statistics of an uncompressed 24/32-bpp BMP. */
+    /** Channel-byte statistics of an uncompressed 24/32-bpp BMP. Header
+      * validation is shared with the raster decoder
+      * ([[PixelCodecs.Bmp.header]]); row order is irrelevant to the
+      * statistics, so the topDown flag is unused, and the streaming loop
+      * below tolerates a truncated raster where the raster decoder refuses.
+      */
     def bmpPixels(b: Array[Byte]): Option[Stats] = {
-      if (b == null || b.length < 34 || b(0) != 'B' || b(1) != 'M') return None
-      val dib = le32(b, 14)
-      if (dib != 40 && dib != 108 && dib != 124) return None
-      val w = le32(b, 18).toInt
-      val h = math.abs(le32(b, 22).toInt)
-      val bpp = le16(b, 28)
-      val compression = le32(b, 30)
-      // same sanity bound as HeaderCodec.sane — also keeps the Int stride
-      // arithmetic below overflow-free for hostile headers
-      if (compression != 0L || (bpp != 24 && bpp != 32) ||
-        w <= 0 || h <= 0 || w > 1000000 || h > 1000000) return None
-      val pxOff = le32(b, 10).toInt
-      if (pxOff < 54 || pxOff > b.length) return None
-      val bytesPerPx = bpp / 8
+      val (w, h, _, bytesPerPx, pxOff) = PixelCodecs.Bmp.header(b).getOrElse(return None)
       val stride = ((w * bytesPerPx + 3) / 4) * 4
       var sum = 0L; var sumSq = 0L; var peak = 0L; var n = 0L
       var row = 0
@@ -379,9 +371,12 @@ object Multimodal {
     * and MP4 video containers; REAL pixel/sample statistics for BMP +
     * 16-bit PCM WAV ([[SampleCodec]]), PNG + GIF (from-scratch decoders,
     * [[PixelCodecs]]) and JPEG (the JDK's ImageIO). The fallback stub now
-    * covers ONLY payloads with no parseable container, and `n_samples = 0`
-    * only for MP4 video samples (codec libraries no JDK ships — swap in a
-    * real codec at deployment, nothing else moves).
+    * covers ONLY payloads with no parseable container (those rows carry
+    * `container = "unknown"`); among PARSED containers, `ok = true` with
+    * `n_samples = 0` happens only for MP4 video samples (codec libraries no
+    * JDK ships — swap in a real codec at deployment, nothing else moves). A
+    * parseable header whose pixel/sample payload fails to decode is
+    * `ok = false` — zero stats are never presented as a real decode.
     */
   private def decodeStub(m: Media): Decoded = {
     HeaderCodec.parse(m.bytes) match {
@@ -395,7 +390,13 @@ object Multimodal {
           case _ => None
         }
         val s = stats.getOrElse(SampleCodec.Stats(0L, 0.0, 0.0, 0.0))
-        Decoded(m.media_id, m.kind, container, w, h, ch, durMs, ok = true,
+        // ok distinguishes three cases: a format with a real decode arm that
+        // decoded (ok, n>0), the documented MP4 header-only stub (ok, n=0),
+        // and a valid header over undecodable payload — corrupt pixel data,
+        // or a raster past maxPixelBytes — which is ok=false so consumers
+        // can't misread the zero stats as genuine black-frame statistics
+        Decoded(m.media_id, m.kind, container, w, h, ch, durMs,
+          ok = stats.isDefined || container == "mp4",
           s.n, s.mean, s.rms, s.peak)
       case None => decodeFallback(m)
     }
@@ -432,7 +433,11 @@ object Multimodal {
 
   /** REAL feature extraction where a real decode exists (round 5):
     * images (BMP/PNG/GIF/JPEG) → mean-pooled grayscale — bilinear resize of
-    * the decoded luma raster to ⌈√dim⌉² and the first `dim` cells / 255;
+    * the decoded luma raster to an exact rows×cols = `dim` grid (cols = the
+    * smallest divisor of dim ≥ √dim, so 16 → 4×4, 12 → 3×4, a prime dim →
+    * 1×dim strips), every cell / 255. The grid covers the WHOLE image —
+    * truncating a ⌈√dim⌉² grid to the first dim cells would silently drop
+    * the bottom rows for any non-square dim;
     * WAV audio → per-window RMS of the PCM samples over `dim` equal time
     * windows. Both land in [0,1], both deterministic at any parallelism.
     * `None` falls back to [[featuresStub]].
@@ -441,8 +446,9 @@ object Multimodal {
     if (m.bytes == null || m.bytes.length < 4) return None
     PixelCodecs.decodeImage(m.bytes) match {
       case Some(r) =>
-        val side = math.ceil(math.sqrt(dim.toDouble)).toInt
-        val pooled = PixelCodecs.resizeBilinear(PixelCodecs.toGray(r), side, side)
+        val minCols = math.ceil(math.sqrt(dim.toDouble)).toInt
+        val cols = (minCols to dim).find(dim % _ == 0).getOrElse(dim)
+        val pooled = PixelCodecs.resizeBilinear(PixelCodecs.toGray(r), cols, dim / cols)
         Some(Features(m.media_id,
           Array.tabulate(dim)(i => (pooled.pixels(i) & 0xff) / 255f)))
       case None =>

@@ -141,7 +141,14 @@ object PixelCodecs {
       try {
         while (got < raw.length && !inf.finished()) {
           val n = inf.inflate(raw, got, raw.length - got)
-          if (n == 0 && inf.needsInput()) return None // truncated stream
+          // inflate() == 0 iff needsInput (truncated stream), needsDictionary
+          // (FDICT-flagged zlib header — legal DEFLATE, never produced by PNG
+          // encoders, and without a dictionary the Inflater returns 0 forever
+          // while finished()/needsInput() both stay false), or finished
+          // (stream ended short; the got < raw.length check below also covers
+          // it). All three are fail-closed, so any stall rejects the file
+          // rather than spinning an executor task.
+          if (n == 0) return None
           got += n
         }
         if (got < raw.length) return None
@@ -375,6 +382,34 @@ object PixelCodecs {
   // ------------------------------------------------------------------ BMP
 
   object Bmp {
+    /** Shared uncompressed-BMP header parse (round 5: previously duplicated
+      * verbatim between the raster decoder below and the streaming
+      * statistics path, [[Multimodal.SampleCodec.bmpPixels]] — two copies
+      * of identical validation drift independently). Returns
+      * (width, height, topDown, bytesPerPixel, pixelOffset) for a 24/32-bpp
+      * uncompressed BITMAPINFO/V4/V5 file, None otherwise. Callers impose
+      * their own raster policies on top: the raster decoder requires
+      * complete rows and a maxPixelBytes cap, the statistics path streams
+      * and tolerates a truncated raster. The 10^6 dimension bound (same as
+      * HeaderCodec.sane) keeps both callers' Int stride arithmetic
+      * overflow-free for hostile headers.
+      */
+    private[operators] def header(b: Array[Byte]): Option[(Int, Int, Boolean, Int, Int)] = {
+      if (b == null || b.length < 34 || b(0) != 'B' || b(1) != 'M') return None
+      val dib = le16(b, 14) | (le16(b, 16) << 16)
+      if (dib != 40 && dib != 108 && dib != 124) return None
+      val w = le16(b, 18) | (le16(b, 20) << 16)
+      val rawH = le16(b, 22) | (le16(b, 24) << 16)
+      val h = math.abs(rawH)
+      val bpp = le16(b, 28)
+      val compression = le16(b, 30) | (le16(b, 32) << 16)
+      if (compression != 0 || (bpp != 24 && bpp != 32) ||
+        w <= 0 || h <= 0 || w > 1000000 || h > 1000000) return None
+      val pxOff = le16(b, 10) | (le16(b, 12) << 16)
+      if (pxOff < 54 || pxOff > b.length) return None
+      Some((w, h, rawH < 0, bpp / 8, pxOff))
+    }
+
     /** Decode an uncompressed 24/32-bpp BMP to a [[Raster]] (BGR(A) sample
       * order normalized to RGB(A); bottom-up rows flipped to top-down). The
       * streaming statistics path ([[Multimodal.SampleCodec.bmpPixels]])
@@ -382,21 +417,8 @@ object PixelCodecs {
       * exists for operators that need actual pixels (resize, features).
       */
     def decode(b: Array[Byte], maxPixelBytes: Int = 1 << 26): Option[Raster] = {
-      if (b == null || b.length < 34 || b(0) != 'B' || b(1) != 'M') return None
-      val dib = le16(b, 14) | (le16(b, 16) << 16)
-      if (dib != 40 && dib != 108 && dib != 124) return None
-      val w = (le16(b, 18) | (le16(b, 20) << 16))
-      val rawH = le16(b, 22) | (le16(b, 24) << 16)
-      val h = math.abs(rawH)
-      val topDown = rawH < 0
-      val bpp = le16(b, 28)
-      val compression = le16(b, 30) | (le16(b, 32) << 16)
-      if (compression != 0 || (bpp != 24 && bpp != 32) ||
-        w <= 0 || h <= 0 || w > 1000000 || h > 1000000) return None
-      val ch = bpp / 8
+      val (w, h, topDown, ch, pxOff) = header(b).getOrElse(return None)
       if (w.toLong * h * ch > maxPixelBytes) return None
-      val pxOff = le16(b, 10) | (le16(b, 12) << 16)
-      if (pxOff < 54 || pxOff > b.length) return None
       val stride = ((w * ch + 3) / 4) * 4
       if (pxOff.toLong + stride.toLong * h > b.length) return None // raster decode needs full rows
       val out = new Array[Byte](w * h * ch)

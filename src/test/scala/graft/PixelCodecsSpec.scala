@@ -388,4 +388,16 @@ class PixelCodecsSpec extends AnyFunSuite {
       assert(Png.decode(evil).isEmpty, s"w=$w h=$h must fail closed")
     }
   }
+
+  test("PNG hostile FDICT zlib header returns None instead of spinning") {
+    // CMF/FLG = 0x78 0x20 sets the FDICT bit with a valid FCHECK
+    // (0x7820 % 31 == 0). No PNG encoder emits preset-dictionary zlib, and
+    // the JDK Inflater answers such a stream with inflate() == 0 while
+    // finished() and needsInput() both stay false — a loop that only bails
+    // on needsInput() spins an executor task forever on a chunk-valid file
+    val fdict = Array(0x78, 0x20, // zlib header, FDICT set
+      0x12, 0x34, 0x56, 0x78,     // DICTID (attacker-chosen, never resolvable)
+      0x03, 0x00, 0x00, 0x00, 0x00, 0x01).map(_.toByte)
+    assert(Png.decode(pngFromChunks(8, 8, fdict)).isEmpty)
+  }
 }
