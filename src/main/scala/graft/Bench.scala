@@ -462,7 +462,17 @@ object Bench {
       // config (on/off + threshold) instead of hardcoding it — prose that
       // claims a filter ran when SPARK_GRAFT_BENCH_PROBE=0 disabled it
       // would be false provenance in a published measurement.
-      val probeOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE", "1") == "1"
+      // The probe measures hi-thread vs lo-thread pure-CPU scaling, so it
+      // can only distinguish "contended" from "idle" on a host with at
+      // least hiCores physical cores — on a narrower box an IDLE machine
+      // probes at ~cores/hiCores and every pair would be rejected, doubling
+      // bench wall time for nothing. Fail open there (accept all pairs) and
+      // say so in the report instead of publishing a false "every window
+      // contended" provenance.
+      val hostCores = Runtime.getRuntime.availableProcessors
+      val probeViable = hostCores >= hiCores
+      val probeOn =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE", "1") == "1" && probeViable
       val probeMin = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_MIN", "0.8").toDouble
       def widthSeries(kind: String, forks: Int)
           : ((Double, Double), (Double, Double), Seq[((Double, Double), (Double, Double))], Int) = {
@@ -584,6 +594,11 @@ object Bench {
            |physical cores, as this one does). Samples above are the
            |ACCEPTED pairs; rejected this run: full loop
            |$crawlRejected%d, dataflow $dataflowRejected%d.""".stripMargin
+            else if (!probeViable)
+              f"""Contended-window filter: DISABLED for this run — the host
+           |exposes only $hostCores%d cores, fewer than the $hiCores%d probe
+           |threads need to tell contention from an idle-but-narrow box;
+           |every fork pair was accepted without a bracket.""".stripMargin
             else
               "Contended-window filter: DISABLED for this run " +
                 "(SPARK_GRAFT_BENCH_PROBE=0) — every fork pair was " +
