@@ -199,6 +199,56 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       "mp4 payload decode is the documented stub — stats must stay zero, not fake")
   }
 
+  test("decode: parseable header over undecodable payload is ok=false, mp4 stub stays ok") {
+    import spark.implicits._
+    val good = Multimodal.ContainerCodec.png(Array.fill(4 * 4 * 3)(7.toByte), 4, 4)
+    // chunk surgery: keep the (valid) IHDR so the header parses, but swap in
+    // an IDAT whose DEFLATE stream is truncated behind a CORRECT chunk CRC —
+    // pixel decode must fail while HeaderCodec still reports a png
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]) = {
+      val c = new java.util.zip.CRC32()
+      c.update(typ.getBytes("US-ASCII")); c.update(data)
+      be32(data.length) ++ typ.getBytes("US-ASCII") ++ data ++ be32(c.getValue)
+    }
+    val short = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(new Array[Byte](4 * (1 + 4 * 3))); d.finish()
+      val buf = new Array[Byte](256); val o = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+      d.end(); o.toByteArray.dropRight(4)
+    }
+    val evil = good.slice(0, 8 + 25) ++ // signature + the original IHDR chunk
+      chunk("IDAT", short) ++ chunk("IEND", Array.emptyByteArray)
+    val media = Seq(
+      Media(1L, "image", evil),
+      Media(2L, "video", Multimodal.ContainerCodec.mp4(2000L, 320, 240, bytes(1, 2, 3)))).toDS()
+    val out = Multimodal.decode(media).collect().sortBy(_.media_id)
+    assert(out(0).container == "png" && !out(0).ok && out(0).n_samples == 0L,
+      "a failed pixel decode must not present zero stats as ok")
+    assert(out(1).container == "mp4" && out(1).ok && out(1).n_samples == 0L,
+      "the documented mp4 header-only stub keeps ok=true")
+  }
+
+  test("extractFeatures: non-square dim pools an exact grid over the WHOLE image") {
+    import spark.implicits._
+    // 4×8 top-down raster: rows 0-5 gray 100, rows 6-7 gray 200. dim=12 →
+    // a 3×4 grid whose bottom pooled row must see the bright band; the old
+    // ⌈√12⌉²-then-truncate pooling dropped the bottom rows entirely and
+    // returned an all-≈100 vector
+    val payload = Array.tabulate(4 * 8 * 3) { i =>
+      (if (i / (4 * 3) < 6) 100 else 200).toByte
+    }
+    val img = Multimodal.ContainerCodec.png(payload, width = 4, height = 8)
+    val media = Seq(Media(1L, "image", img)).toDS()
+    val f = Multimodal.extractFeatures(media, dim = 12).collect().head.feature
+    assert(f.length == 12)
+    assert(f.take(4).forall(v => math.abs(v - 100f / 255f) < 2e-3f), f.toSeq.toString)
+    assert(f.drop(8).forall(v => math.abs(v - 200f / 255f) < 2e-3f),
+      s"bottom pooled row must reflect the bottom image rows: ${f.toSeq}")
+  }
+
   test("ContainerCodec.bmp ∘ decode = identity on dims and tiled pixel stats") {
     import graft.operators.Multimodal.{ContainerCodec, SampleCodec}
     val rnd = new scala.util.Random(77)
