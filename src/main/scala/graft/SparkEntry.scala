@@ -30,7 +30,10 @@ object SparkEntry {
     */
   private def trigramShingles(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= lit(""))
-    docs.select(col("doc_id"), toks.as("toks"))
+    // floored: the shingle expression tree is the broadcast-build cost of the
+    // verify joins — a single sub-16MB input partition ran it on 1 core of 32
+    // (round-6 stage profile; no-op at scale — Parallelism.floor)
+    graft.operators.Parallelism.floor(docs).select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), array_distinct(transform(
         sequence(lit(0), greatest(size(col("toks")) - 3, lit(0))),
         i => array_join(slice(col("toks"), i + lit(1), lit(3)), " "))).as("sh"))

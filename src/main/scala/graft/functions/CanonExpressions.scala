@@ -94,6 +94,26 @@ object CanonKernel {
     StructField("links", ArrayType(StructType(Seq(
       StructField("href", StringType), StructField("anchor", StringType))))),
     StructField("text_xxh64", LongType)))
+
+  /** Round-6 crawl-hot-path variant: hrefs only (no anchors) + text hash —
+    * the fetch/candidate pipeline never reads anchors (see
+    * Html.scanPageHrefs).
+    */
+  def pageScanHrefs(html: Array[Byte]): InternalRow = {
+    val ps = Html.scanPageHrefs(html)
+    val links = new Array[Any](ps.hrefs.length)
+    var i = 0
+    while (i < ps.hrefs.length) {
+      links(i) = UTF8String.fromString(ps.hrefs(i))
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(links), java.lang.Long.valueOf(ps.textXxh64)))
+  }
+
+  val pageScanHrefsType: StructType = StructType(Seq(
+    StructField("links", ArrayType(StringType)),
+    StructField("text_xxh64", LongType)))
 }
 
 /** resolve(base, href) → canonicalize → (url, host, path, surt) struct.
@@ -208,6 +228,91 @@ case class PageScanHash(child: Expression) extends UnaryExpression with ExpectsI
     copy(child = newChild)
 }
 
+/** Fused page scan, crawl hot path (round 6): hrefs array + xxhash64(text),
+  * no anchor extraction — anchors are never consumed on the crawl/candidate
+  * path, and their per-link sub-scan + entity decode + String cost ~30-40%
+  * of the scan kernel (BenchExtra `kernel`; hrefs ≡ links.href pinned in
+  * CanonExprSpec).
+  */
+case class PageScanHrefsHash(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = CanonKernel.pageScanHrefsType
+  override def nullable: Boolean = true
+  override def prettyName: String = "page_scan_hrefs_hash"
+  override protected def nullSafeEval(html: Any): Any =
+    CanonKernel.pageScanHrefs(html.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, html =>
+      s"""
+         |${ev.value} = graft.functions.CanonKernel.pageScanHrefs($html);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused explode+resolve+canon generator (round 6, guide §1.2 step 2 after
+  * the §1.1 ablation): one output row per href in `links` whose
+  * resolve→canonicalize succeeds, as FLAT columns (url, host, path, surt).
+  *
+  * Replaces `explode(links)` + `resolveCanonCol(base, href)` + an
+  * `isNotNull` filter on the crawl/candidate path. Two measured costs
+  * disappear: (1) Catalyst pushes the candidate filters below the
+  * projection that computes the `cp` struct, so the resolve+canon kernel
+  * ran ≥2× per link (the guide-§4.4 duplication, here with a native
+  * expression); a Generator's output columns are plain attributes, which
+  * filters reference without re-evaluating anything. (2) the per-link
+  * intermediate (href struct row from explode, then a 4-field `cp` struct
+  * copied through two more projections) never materializes — the row the
+  * generator yields IS the final shape. Dropped-null semantics are exactly
+  * the old `cp.isNotNull` filter (pinned ≡ UDF+explode in CanonExprSpec).
+  */
+case class ResolveLinksGen(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("url", StringType, nullable = false),
+    StructField("host", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("surt", StringType, nullable = false)))
+
+  override def prettyName: String = "resolve_links_gen"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"resolve_links_gen needs (base STRING, links ARRAY<STRING>), got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val linksV = right.eval(input)
+    if (linksV == null) return Iterator.empty
+    val arr = linksV.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val baseV = left.eval(input).asInstanceOf[UTF8String]
+    // null base with an absolute href is a DEFINED resolve input (RFC 3986
+    // §5.2.1 short-circuit) — same non-null-safe contract as ResolveCanonSurt
+    val base = if (baseV == null) null else baseV.toString
+    val n = arr.numElements()
+    (0 until n).iterator.flatMap { i =>
+      val hrefV = arr.getUTF8String(i)
+      val cp = UrlCanon.canonParts(UrlCanon.resolve(
+        base, if (hrefV == null) null else hrefV.toString))
+      if (cp == null) Iterator.empty
+      else Iterator.single(new GenericInternalRow(Array[Any](
+        UTF8String.fromString(cp.url), UTF8String.fromString(cp.host),
+        UTF8String.fromString(cp.path), UTF8String.fromString(cp.surt))))
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column factories for the native expressions. */
 object CanonExpressions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
@@ -217,6 +322,11 @@ object CanonExpressions {
   def surtCol(raw: Column): Column = column(SurtOf(expression(raw)))
   def pageScanCol(html: Column): Column = column(PageScan(expression(html)))
   def pageScanHashCol(html: Column): Column = column(PageScanHash(expression(html)))
+  def pageScanHrefsCol(html: Column): Column = column(PageScanHrefsHash(expression(html)))
+  /** Fused explode+resolve+canon: use in a select; the analyzer lifts it into
+    * a `Generate` node yielding (url, host, path, surt) per resolvable link. */
+  def resolveLinksGenCol(base: Column, links: Column): Column =
+    column(ResolveLinksGen(expression(base), expression(links)))
   /** X1 generator: one (href, anchor) row per link — use in a select; the
     * analyzer lifts it into a `Generate` node (see [[ExtractLinksGen]]). */
   def extractLinksGenCol(html: Column): Column = column(ExtractLinksGen(expression(html)))

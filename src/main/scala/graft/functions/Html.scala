@@ -376,6 +376,117 @@ object Html {
   /** Hot-path scan result: links + text hash, no text materialization. */
   final case class PageScanHashed(links: Array[Link], textXxh64: Long)
 
+  /** Round-6 crawl-hot-path scan: href list + text hash, NO anchor text.
+    * The crawl/dataflow pipeline never reads anchors (fetch log keeps only
+    * n_links + text_xxh64; candidate generation keys on href), yet the
+    * anchor extraction inside [[extractLinksFromBytes]] pays a per-link
+    * sub-scan + entity decode + collapse + String, ~30-40% of the scan
+    * kernel (BenchExtra `kernel`). Traversal, in-page dedup (first raw href
+    * wins) and ordering are IDENTICAL to the Link path — pinned by
+    * CanonExprSpec (hrefs ≡ links.map(_.href)); X1's anchor-carrying
+    * extractors are untouched.
+    */
+  final case class PageScanHrefs(hrefs: Array[String], textXxh64: Long)
+
+  def scanPageHrefs(html: Array[Byte]): PageScanHrefs =
+    if (html == null) PageScanHrefs(Array.empty, emptyTextHash)
+    else if (isValidUtf8(html) && !hasAsciiCaseFoldingChar(html))
+      PageScanHrefs(extractHrefsFromBytes(html), textHashFromBytes(html))
+    else {
+      val s = decodeUtf8(html)
+      PageScanHrefs(extractHrefsFromString(s), textHashFromString(s))
+    }
+
+  /** X1 hrefs-only over raw valid-UTF-8 bytes — [[extractLinksFromBytes]]
+    * minus the anchor-body text extraction (the `bodyEnd` walk is still
+    * needed to find where the element ends).
+    */
+  private[graft] def extractHrefsFromBytes(b: Array[Byte]): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val n = b.length
+    var i = 0
+    while (i < n) {
+      if (b(i) == '<') {
+        if (tagAtB(b, i, "script")) i = skipBlockB(b, i, "script")
+        else if (tagAtB(b, i, "style")) i = skipBlockB(b, i, "style")
+        else if (tagAtB(b, i, "a")) {
+          val (hrefRaw, past) = parseHrefB(b, i)
+          var j = past
+          var end = n
+          var found = false
+          while (j < n && !found) {
+            if (b(j) == '<') {
+              if (j + 1 < n && b(j + 1) == '/' && tagAtCloseB(b, j, "a")) {
+                val gt = indexOfGt(b, j)
+                end = if (gt < 0) n else gt + 1
+                found = true
+              } else if (tagAtB(b, j, "a")) { end = j; found = true }
+            }
+            if (!found) j += 1
+          }
+          if (!found) end = n
+          if (hrefRaw != null && hrefRaw.nonEmpty) {
+            val href = decodeEntities(hrefRaw).trim
+            if (href.nonEmpty && !seen.contains(href)) {
+              seen += href
+              out += href
+            }
+          }
+          i = end
+        } else {
+          val gt = indexOfGt(b, i)
+          i = if (gt < 0) n else gt + 1
+        }
+      } else i += 1
+    }
+    out.toArray
+  }
+
+  /** Char-path twin of [[extractHrefsFromBytes]] (invalid-UTF-8 fallback). */
+  private[graft] def extractHrefsFromString(html: String): Array[String] = {
+    if (html == null) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    var i = 0
+    while (i < html.length) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (tagAt(html, i, "script")) i = skipBlock(html, i, "script")
+        else if (tagAt(html, i, "style")) i = skipBlock(html, i, "style")
+        else if (tagAt(html, i, "a")) {
+          val (hrefRaw, past) = parseHref(html, i)
+          var j = past
+          var end = html.length
+          var found = false
+          while (j < html.length && !found) {
+            if (html.charAt(j) == '<') {
+              if (j + 1 < html.length && html.charAt(j + 1) == '/' && tagAtClose(html, j, "a")) {
+                val gt = html.indexOf('>', j)
+                end = if (gt < 0) html.length else gt + 1
+                found = true
+              } else if (tagAt(html, j, "a")) { end = j; found = true }
+            }
+            if (!found) j += 1
+          }
+          if (!found) end = html.length
+          if (hrefRaw != null && hrefRaw.nonEmpty) {
+            val href = decodeEntities(hrefRaw).trim
+            if (href.nonEmpty && !seen.contains(href)) {
+              seen += href
+              out += href
+            }
+          }
+          i = end
+        } else {
+          val gt = html.indexOf('>', i)
+          i = if (gt < 0) html.length else gt + 1
+        }
+      } else i += 1
+    }
+    out.toArray
+  }
+
   def scanPageHashed(html: Array[Byte]): PageScanHashed =
     if (html == null) PageScanHashed(Array.empty, emptyTextHash)
     else if (isValidUtf8(html) && !hasAsciiCaseFoldingChar(html))

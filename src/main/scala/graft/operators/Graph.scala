@@ -89,10 +89,22 @@ object Graph {
     val spark = edges.sparkSession
     val e = edges.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("d"))
     // symmetrize once; both directions are needed so min labels flow both ways
-    val und = e.unionAll(e.select(col("d").as("s"), col("s").as("d")))
+    val raw = e.unionAll(e.select(col("d").as("s"), col("s").as("d")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // eager localCheckpoint: materializes AND truncates plan + RDD deps at
-    // every superstep boundary (see scaladoc)
+    // round 6 (guide §2.2/§2.4): the message count SIZES the superstep
+    // partitioning — tiny pair graphs collapse to single-task supersteps
+    // instead of cores-wide stages of near-empty tasks — and the edge table
+    // is hash-partitioned by `s` ONCE, so every superstep's message join
+    // reuses that layout instead of re-exchanging the (cached) edges per
+    // iteration. The count's job is the cache materialization the first
+    // superstep would have paid anyway.
+    val nMsgs = raw.count()
+    val parts = Parallelism.partsFor(raw, nMsgs)
+    val default = spark.sparkContext.defaultParallelism
+    val und = raw.repartition(parts, col("s")).localCheckpoint(true)
+    raw.unpersist()
+    // aliasing the partition key preserves the layout, so this distinct
+    // plans with NO exchange; labels start partitioned by id at `parts`
     var verts = und.select(col("s").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
@@ -106,10 +118,17 @@ object Graph {
         .select(col("d").as("id"), col("comp"), lit(null).cast("long").as("old"))
       val self = verts.select(col("id"), col("comp"), col("comp").as("old"))
       val obs = new Observation(s"cc_iter_$iter")
+      // below the default width the agg exchange is pinned at `parts`
+      // (single-digit tasks on tiny graphs); at scale the plain groupBy
+      // keeps its map-side partial min (guide §2.3) exactly as before
+      val grouped = {
+        val u = msgs.unionByName(self)
+        (if (parts < default) u.repartition(parts, col("id")) else u)
+          .groupBy("id")
+          .agg(min("comp").as("comp"), min("old").as("old"))
+      }
       // the eager checkpoint's own materializing action fires the observation
-      val next = msgs.unionByName(self)
-        .groupBy("id")
-        .agg(min("comp").as("comp"), min("old").as("old"))
+      val next = grouped
         .observe(obs, coalesce(
           sum(when(col("comp") < col("old"), 1L).otherwise(0L)), lit(0L)).as("n_changed"))
         .select("id", "comp")
@@ -120,7 +139,7 @@ object Graph {
       verts = next
       iter += 1
     }
-    und.unpersist()
+    releaseCheckpoint(und)
     CCResult(verts, converged, iter)
   }
 
@@ -176,24 +195,33 @@ object Graph {
         least(col("a"), col("b")).as("lo"))
       .distinct()
       .localCheckpoint(true) // truncate lineage per round, as in hash-min
+    // round 6: size the per-round shuffles from the actual edge count (the
+    // count reads the checkpoint just materialized — no recompute); below
+    // the default width every distinct/agg exchange is pinned at `parts`
+    // single-task-ish stages, at scale `pin` is the identity and the plan
+    // is exactly the pre-round-6 one (see Parallelism)
+    val parts = Parallelism.partsFor(cur, cur.count())
+    val default = edges.sparkSession.sparkContext.defaultParallelism
+    def pin(df: DataFrame, key: String): DataFrame =
+      if (parts < default) df.repartition(parts, col(key)) else df
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       // ---- large-star ----
-      val und = cur.select(col("hi").as("s"), col("lo").as("d"))
-        .unionAll(cur.select(col("lo").as("s"), col("hi").as("d")))
+      val und = pin(cur.select(col("hi").as("s"), col("lo").as("d"))
+        .unionAll(cur.select(col("lo").as("s"), col("hi").as("d"))), "s")
       val mins = und.groupBy("s").agg(min("d").as("mn"))
         .select(col("s"), least(col("mn"), col("s")).as("m"))
       // each edge is emitted exactly once, from its smaller endpoint's
       // grouping; m ≤ s < d keeps the high→low canonical form
-      val ls = und.join(mins, "s").where(col("d") > col("s"))
-        .select(col("d").as("hi"), col("m").as("lo"))
+      val ls = pin(und.join(mins, "s").where(col("d") > col("s"))
+        .select(col("d").as("hi"), col("m").as("lo")), "hi")
         .distinct()
       // ---- small-star ----
       val mins2 = ls.groupBy("hi").agg(min("lo").as("m"))
-      val next = ls.join(mins2, "hi").where(col("lo") =!= col("m"))
+      val next = pin(ls.join(mins2, "hi").where(col("lo") =!= col("m"))
         .select(col("lo").as("hi"), col("m").as("lo"))
-        .unionAll(mins2.select(col("hi"), col("m").as("lo")))
+        .unionAll(mins2.select(col("hi"), col("m").as("lo"))), "hi")
         .distinct()
         .localCheckpoint(true)
       // star forest ⟺ no node is both a child and a parent ⟺ fixpoint
@@ -332,23 +360,41 @@ object Graph {
       dstCol: String = "dst",
       iters: Int = 3,
       damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+    // round 6 (guide §2.4): the edge set is distinct'd ONCE into a persisted
+    // frame (the old lazy `e` recomputed the distinct separately under
+    // `nodes` and under `eDeg`), its count sizes every downstream shuffle
+    // (tiny graphs → single-task stages; at scale `parts` saturates at the
+    // default width and `pin` is the identity), and the edge×outdeg table is
+    // hash-partitioned by the join key `s` once, so each iteration's rank
+    // join reuses that layout instead of re-exchanging the cached edges —
+    // the three concurrent eDeg exchanges were the largest stages in the
+    // round-5 q_pagerank profile.
+    val eDist = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
       .distinct()
-    val nodes = e.select(col("s").as("id")).unionAll(e.select(col("d").as("id")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nE = eDist.count()
+    val parts = Parallelism.partsFor(eDist, nE)
+    val default = edges.sparkSession.sparkContext.defaultParallelism
+    def pin(df: DataFrame, key: String): DataFrame =
+      if (parts < default) df.repartition(parts, col(key)) else df
+    val eS = eDist.repartition(parts, col("s"))
+    // grouping and joining on the partition key: deg + the attach join plan
+    // with no further exchange above eS's one
+    val eDeg = eS.join(eS.groupBy("s").agg(count(lit(1)).as("od")), "s")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = pin(eDist.select(col("s").as("id")).unionAll(eDist.select(col("d").as("id"))), "id")
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
-    val eDeg = e.join(e.groupBy("s").agg(count(lit(1)).as("od")), "s")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // both constants follow the exact double-expression the oracle uses:
     // (1-d) evaluated in IEEE double, then ×1e9, then /n, then half-up round
     val pr0 = math.round(1e9 / n)
     val teleport = math.round((1.0 - damping) * 1e9 / n)
     var pr = nodes.withColumn("pr", lit(pr0))
     for (_ <- 1 to iters) {
-      val contribs = eDeg.join(pr, eDeg("s") === pr("id"))
+      val contribs = pin(eDeg.join(pr, eDeg("s") === pr("id"))
         .select(col("d").as("id"),
-          round(lit(damping) * col("pr") / col("od"), 0).cast("long").as("c"))
+          round(lit(damping) * col("pr") / col("od"), 0).cast("long").as("c")), "id")
         .groupBy("id").agg(sum("c").as("inmass"))
       pr = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"), (lit(teleport) + coalesce(col("inmass"), lit(0L))).as("pr"))
@@ -362,6 +408,7 @@ object Graph {
     result.count()
     nodes.unpersist()
     eDeg.unpersist()
+    eDist.unpersist()
     result
   }
 }

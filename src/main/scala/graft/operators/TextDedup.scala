@@ -120,7 +120,10 @@ object TextDedup {
     require(bands >= 1 && bands <= m && m % bands == 0,
       s"bands=$bands must divide m=$m")
     val rows = m / bands
-    val banded = docs
+    // shingle+minhash is the dominant CPU of this path: floor the scan
+    // parallelism so it never serializes on one small-input partition
+    // (no-op at scale — Parallelism.floor)
+    val banded = Parallelism.floor(docs)
       .select(col(idCol).as("id"), shinglesUdf(col(textCol), lit(k)).as("sh"))
       .select(col("id"),
         posexplode(bandsUdf(minhashUdf(col("sh"), lit(m)), lit(bands), lit(rows)))
@@ -159,7 +162,7 @@ object TextDedup {
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, m: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucket: Int = 10000): DataFrame = {
-    val sigs = docs.select(
+    val sigs = Parallelism.floor(docs).select(
       col(idCol).as("id"), shinglesUdf(col(textCol), lit(k)).as("sh"))
     minhashCandidates(docs, idCol, textCol, k, m, bands, maxBucket)
       .join(sigs.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
@@ -276,7 +279,7 @@ object TextDedup {
       docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, maxBucket: Int = 10000): DataFrame =
     simhashPairsFromSims(
-      docs.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sim")),
+      Parallelism.floor(docs).select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sim")),
       maxDist, maxBucket)
 
   /** Embedding-cosine near-dup pairs via Similarity's LSH buckets.
@@ -293,7 +296,7 @@ object TextDedup {
       emb: DataFrame, idCol: String, vecCol: String,
       planes: Int = 12, threshold: Double = 0.95,
       maxBucket: Int = 10000): DataFrame = {
-    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base = Parallelism.floor(emb).select(col(idCol).as("id"), col(vecCol).as("v"))
     val bucketed = base
       .withColumn("bucket", Similarity.lshBucketUdf(col("v"), lit(planes)))
       .select("id", "bucket")

@@ -97,16 +97,16 @@ object CrawlRound {
   def seenDir(stateDir: String) = s"$stateDir/url_seen"
   def fetchLogDir(stateDir: String) = s"$stateDir/fetch_log"
 
-  private val emptyLinks = array().cast("array<struct<href:string,anchor:string>>")
+  private val emptyLinks = array().cast("array<string>")
 
   /** Fetch-status scan: ONE fused kernel per 200 page (single UTF-8 decode →
-    * links + text hash; the extracted text itself is never materialized —
-    * the engine only ships its xxhash64, and the hash kernel is pinned
-    * hash-equal to X2's extractText). 404 rows pass through with empty
-    * links.
+    * link hrefs + text hash; anchors are never consumed on this path and the
+    * extracted text itself is never materialized — the engine only ships its
+    * xxhash64, and the hash kernel is pinned hash-equal to X2's extractText).
+    * 404 rows pass through with empty links.
     */
   private def scanned(df: DataFrame): DataFrame = df
-    .withColumn("scan", when(col("status") === 200, graft.functions.CanonExpressions.pageScanHashCol(col("html"))))
+    .withColumn("scan", when(col("status") === 200, graft.functions.CanonExpressions.pageScanHrefsCol(col("html"))))
     .withColumn("links", coalesce(col("scan.links"), emptyLinks))
     .withColumn("n_links", size(col("links")))
     .withColumn("text_xxh64",
@@ -312,7 +312,7 @@ object CrawlRound {
           val allowPathUdf = udf((host: String, path: String) =>
             bc.value.get(host).forall(_.allows(path)))
           (df => df.withColumn("delay", delayUdf(col("host"))),
-            df => df.where(allowPathUdf(col("cp.host"), col("cp.path"))))
+            df => df.where(allowPathUdf(col("chost"), col("cpath"))))
         case graft.operators.RobotsJoin(policies) =>
           val decideUdf = udf((dis: Seq[String], alw: Seq[String], path: String) =>
             RobotsPolicy.decide(dis, alw, path))
@@ -324,8 +324,8 @@ object CrawlRound {
             df => df
               .join(policies.select(col("host").as("__rhost"),
                 col("disallow").as("__dis"), col("allow").as("__alw")),
-                col("cp.host") === col("__rhost"), "left")
-              .where(decideUdf(col("__dis"), col("__alw"), col("cp.path")))
+                col("chost") === col("__rhost"), "left")
+              .where(decideUdf(col("__dis"), col("__alw"), col("cpath")))
               .drop("__rhost", "__dis", "__alw"))
       }
 
@@ -384,23 +384,24 @@ object CrawlRound {
         coalesce(sum(when(col("status") === 200, 1L).otherwise(0L)), lit(0L)).as("n200"))
 
     // ---- X1/U6/U2/U4 candidate generation + P1/P2 filters.
-    // One fused UDF per link: resolve + canonicalize + host + path + surt ----
+    // Round 6: fused explode-resolve GENERATOR (one resolve+canon kernel call
+    // per link, flat output columns — the former cp-struct projection
+    // re-evaluated the kernel under the pushed-down candidate filter) ----
     val rawCand = hits.where(col("n_links") > 0)
       .select(
         col("surt").as("parent_surt"),
         col("url").as("base_url"),
         col("depth").as("parent_depth"),
         (col("score") / greatest(col("n_links"), lit(1))).as("contrib"),
-        explode(col("links")).as("link"))
-      .withColumn("cp", graft.functions.CanonExpressions.resolveCanonCol(col("base_url"), col("link").getField("href")))
-      .where(col("cp").isNotNull &&
-        (col("cp.url").startsWith("http://") || col("cp.url").startsWith("https://")) &&
-        length(col("cp.url")) <= cfg.maxPathLength &&
+        col("links"))
+      .select(col("parent_surt"), col("parent_depth"), col("contrib"),
+        graft.functions.CanonExpressions.resolveLinksGenCol(col("base_url"), col("links"))
+          .as(Seq("curl", "chost", "cpath", "csurt")))
+      .where(
+        (col("curl").startsWith("http://") || col("curl").startsWith("https://")) &&
+        length(col("curl")) <= cfg.maxPathLength &&
         col("parent_depth") < cfg.maxDepth)
       .transform(robotsFilter)
-      .withColumn("curl", col("cp.url"))
-      .withColumn("chost", col("cp.host"))
-      .withColumn("csurt", col("cp.surt"))
 
     // ---- D1 in-batch dedup (deterministic min-struct, NOT dropDuplicates)
     //      + A3 OPIC cash accumulation, folded into the same shuffle ----

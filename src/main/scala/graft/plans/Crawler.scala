@@ -222,24 +222,27 @@ object Crawler {
       .select("surt", "url", "host", "host_bucket", "depth", "score")
     // inner, not an outer+null-filter: unlike CrawlRound.fetchJoin (whose
     // outer arm preserves 404 rows) the probe keeps hits only, and Catalyst's
-    // EliminateOuterJoin would rewrite the outer form to this anyway
+    // EliminateOuterJoin would rewrite the outer form to this anyway.
+    // Round 6: hrefs-only scan + fused explode-resolve generator (see
+    // ResolveLinksGen) — the resolve/canon kernel runs exactly once per link
+    // and the candidate filter references plain generator outputs, where the
+    // former cp-struct projection re-evaluated it under the pushed filter.
     pages.select(col("url"), col("html"))
       .join(admitted.hint("merge"), Seq("url"), "inner")
       .where(col("html").isNotNull)
       .select(
         col("surt").as("parent_surt"), col("url").as("base_url"),
         col("depth").as("parent_depth"), col("score"),
-        graft.functions.CanonExpressions.pageScanHashCol(col("html")).as("scan"))
-      .select(col("parent_surt"), col("base_url"), col("parent_depth"),
+        graft.functions.CanonExpressions.pageScanHrefsCol(col("html")).as("scan"))
+      .select(col("parent_surt"), col("parent_depth"),
         (col("score") / greatest(size(col("scan.links")), lit(1))).as("contrib"),
-        explode(col("scan.links")).as("link"))
-      .withColumn("cp", graft.functions.CanonExpressions.resolveCanonCol(col("base_url"), col("link").getField("href")))
-      .where(col("cp").isNotNull && col("cp.url").startsWith("http") &&
-        allowPathUdf(col("cp.host"), col("cp.path")))
-      .groupBy(col("cp.surt").as("surt"))
+        graft.functions.CanonExpressions.resolveLinksGenCol(col("base_url"), col("scan.links"))
+          .as(Seq("curl", "chost", "cpath", "csurt")))
+      .where(col("curl").startsWith("http") && allowPathUdf(col("chost"), col("cpath")))
+      .groupBy(col("csurt").as("surt"))
       .agg(
         min(struct(col("parent_depth").as("pd"), col("parent_surt").as("ps"),
-          col("cp.url").as("u"), col("cp.host").as("h"))).as("f"),
+          col("curl").as("u"), col("chost").as("h"))).as("f"),
         sum(col("contrib")).as("score"))
   }
 

@@ -165,6 +165,47 @@ class CanonExprSpec extends AnyFunSuite with SparkTestSession {
     assert(supp.isEmpty, s"supplementary ASCII-folding code points: $supp")
   }
 
+  test("hrefs-only scan ≡ full scan links.href — corpus + adversarial vectors (r6)") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import graft.functions.Html
+    def check(bytes: Array[Byte], tag: String): Unit = {
+      val full = Html.scanPageHashed(bytes)
+      val hrefs = Html.scanPageHrefs(bytes)
+      assert(hrefs.hrefs.toSeq == full.links.toSeq.map(_.href), s"hrefs [$tag]")
+      assert(hrefs.textXxh64 == full.textXxh64, s"hash [$tag]")
+    }
+    val strings = Seq(
+      "<a href=\"a\">one</a><a href=\"a\">dup</a><a href=\"b\">two</a>",
+      "<a href='x'>nested <a href='y'>implicit close</a>",
+      "<script><a href=\"no\"></script><a href=\"yes\">ok</a>",
+      "<a HREF=unquoted/p>t</a>", "<a href=\"\">empty</a><a>none</a>",
+      "<a href=\"h&amp;x\">entity href</a>",
+      "<scrİpt>hidden('<a href=\"no\">')</scrİpt><a href=\"yes\">ok</a>")
+    strings.foreach(s => check(s.getBytes(UTF_8), s.take(30)))
+    check(Array[Byte]('<', 'a', ' ', 'h', 'r', 'e', 'f', '=', '"', 'x', '"', '>', 0xff.toByte, '<', '/', 'a', '>'), "invalid-utf8")
+    pages.select(col("html")).collect().foreach(r => check(r.getAs[Array[Byte]](0), "corpus"))
+  }
+
+  test("resolve_links_gen ≡ explode + resolveCanon UDF (r6)") {
+    // the fused generator must emit exactly the rows the v1 pipeline kept
+    // after its cp.isNotNull filter, in the same per-page href order
+    val viaGen = pages.select(col("url"),
+        CanonExpressions.pageScanHrefsCol(col("html")).as("s"))
+      .select(col("url"),
+        CanonExpressions.resolveLinksGenCol(col("url"), col("s.links"))
+          .as(Seq("curl", "chost", "cpath", "csurt")))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val viaUdf = pages.select(col("url").as("base"),
+        explode(UrlFunctions.extractLinksUdf(col("html"))).as("l"))
+      .select(col("base"),
+        UrlFunctions.resolveCanonUdf(col("base"), col("l.href")).as("cp"))
+      .where(col("cp").isNotNull)
+      .select(col("base"), col("cp.url"), col("cp.host"), col("cp.path"), col("cp.surt"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(viaGen == viaUdf)
+    assert(viaGen.nonEmpty, "trivially-empty comparison")
+  }
+
   test("expression pipeline runs inside whole-stage codegen (no fallback)") {
     val df = pages.select(col("url"),
         CanonExpressions.pageScanCol(col("html")).as("s"))
