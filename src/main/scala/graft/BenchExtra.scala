@@ -102,15 +102,39 @@ object BenchExtra {
         val n = args(1)
         val spark = session(cpus)
         addStageListener(spark)
+        // job-level wall + the GAP since the previous job ended (planning,
+        // codegen compilation, driver-side work live in the gaps)
+        val lastEnd = new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
+        val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val gap = j.time - lastEnd.get()
+            jobStart.put(j.jobId, j.time)
+            System.err.println(f"[job ${j.jobId}%3d start] gap since prev end ${gap}%5d ms")
+          }
+          override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val wall = j.time - Option(jobStart.get(j.jobId)).getOrElse(j.time)
+            lastEnd.set(j.time)
+            System.err.println(f"[job ${j.jobId}%3d end]   wall ${wall}%5d ms")
+          }
+        })
+        def codegenStats(): (Long, Long) = {
+          import org.apache.spark.metrics.source.CodegenMetrics
+          (CodegenMetrics.METRIC_COMPILATION_TIME.getCount,
+            CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum)
+        }
         try {
           import org.apache.spark.sql.functions.{col, count}
           spark.read.parquet(s"$sfDir/lineitem.parquet")
             .groupBy(col("l_returnflag")).agg(count(col("l_orderkey"))).count()
         } catch { case _: Throwable => () }
+        val (c0, t0c) = codegenStats()
         System.err.println(s"---- stages of $n ----")
         val t0 = System.nanoTime()
         all(n)(spark, sfDir).count()
-        println(f"$n total ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        val wall = (System.nanoTime() - t0) / 1e9
+        val (c1, t1c) = codegenStats()
+        println(f"$n total $wall%.3f s; codegen compiles ${c1 - c0} taking ~${(t1c - t0c)}%d ms")
         spark.stop()
 
       case "dataflow" =>

@@ -103,10 +103,17 @@ object Graph {
     val default = spark.sparkContext.defaultParallelism
     val und = raw.repartition(parts, col("s")).localCheckpoint(true)
     raw.unpersist()
-    // aliasing the partition key preserves the layout, so this distinct
-    // plans with NO exchange; labels start partitioned by id at `parts`
-    var verts = und.select(col("s").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // aliasing the partition key preserves the layout, so this aggregation
+    // plans with NO exchange; labels start partitioned by id at `parts`.
+    // Round 6: initialize with the NEIGHBOR MIN — comp₀(v) = min(N(v) ∪ {v})
+    // — which is exactly what the first comp=id superstep would compute, for
+    // the price of the init aggregation alone (the old distinct was the same
+    // shuffle shape). Star-shaped components (the near-dup common case at
+    // any scale) now converge one full join+agg+checkpoint superstep
+    // earlier; soundness is unchanged (the label is still a min over a
+    // reachable subset).
+    var verts = und.groupBy("s").agg(min("d").as("mn"))
+      .select(col("s").as("id"), least(col("s"), col("mn")).as("comp"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false

@@ -142,12 +142,8 @@ object Match {
       try fuzzyCandidatePlan(ba, bb, maxBucketPairs)
         .localCheckpoint(true) // ≤ buckets × maxBucketPairs rows by the cap
       finally { ba.unpersist(); bb.unpersist() }
-    // shingle recompute for the rerank: floored like bandedSide, so the
-    // broadcast-build of each attach join is not one single-core task
-    val sha = Parallelism.floor(a)
-      .select(col(idCol).as("a_id"), shinglesUdf(col(textCol), lit(k)).as("sha"))
-    val shb = Parallelism.floor(b)
-      .select(col(idCol).as("b_id"), shinglesUdf(col(textCol), lit(k)).as("shb"))
+    val sha = a.select(col(idCol).as("a_id"), shinglesUdf(col(textCol), lit(k)).as("sha"))
+    val shb = b.select(col(idCol).as("b_id"), shinglesUdf(col(textCol), lit(k)).as("shb"))
     cand.join(sha, Seq("a_id")).join(shb, Seq("b_id"))
       .withColumn("jaccard", round(jaccardUdf(col("sha"), col("shb")), 6))
       .where(col("jaccard") >= threshold)
@@ -162,8 +158,9 @@ object Match {
   private[graft] def bandedSide(df: DataFrame, side: String, idCol: String,
       textCol: String, k: Int, m: Int, bands: Int): DataFrame = {
     import TextDedup.{shinglesUdf, minhashUdf, bandsUdf}
-    Parallelism.floor(df)
-      .select(col(idCol).as(side), shinglesUdf(col(textCol), lit(k)).as("sh"))
+    // not floored (round 6): four floored subtrees cost four extra
+    // exchanges + AQE stages per query — measured net +0.65 s at sf0.1
+    df.select(col(idCol).as(side), shinglesUdf(col(textCol), lit(k)).as("sh"))
       .select(col(side),
         posexplode(bandsUdf(minhashUdf(col("sh"), lit(m)), lit(bands), lit(m / bands)))
           .as(Seq("band_idx", "band_hash")))

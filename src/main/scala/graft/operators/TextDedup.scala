@@ -296,7 +296,10 @@ object TextDedup {
       emb: DataFrame, idCol: String, vecCol: String,
       planes: Int = 12, threshold: Double = 0.95,
       maxBucket: Int = 10000): DataFrame = {
-    val base = Parallelism.floor(emb).select(col(idCol).as("id"), col(vecCol).as("v"))
+    // NOT floored (round 6): the LSH-bucket kernel is ~3µs/vector — the
+    // repartition's extra exchange + AQE stage cost more than the
+    // single-task compute it spreads (measured +0.6 s at sf0.1)
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     val bucketed = base
       .withColumn("bucket", Similarity.lshBucketUdf(col("v"), lit(planes)))
       .select("id", "bucket")
