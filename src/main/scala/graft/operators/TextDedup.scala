@@ -40,8 +40,19 @@ object TextDedup {
     Bloom64.mix(h)
   }
 
+  /** Shingle-kernel invocation counter — the measured provenance of the
+    * dedup family's `evaluatedOnce` eager cut (r5 VERDICT "Next round" #7):
+    * DedupSpec pins calls == rows for the banded candidate path, so a future
+    * "optimization" that drops the persist (and silently re-runs the
+    * dominant UDF subtree once per downstream reference) fails a test
+    * instead of shipping. LongAdder: contention-free per-call cost;
+    * meaningful in local mode (one JVM), inert on a cluster.
+    */
+  private[graft] val shingleInvocations = new java.util.concurrent.atomic.LongAdder
+
   /** Word k-shingles as hashed Longs (dedup'd per doc). */
   val shinglesUdf = udf((text: String, k: Int) => {
+    shingleInvocations.increment()
     if (text == null) Array.empty[Long]
     else {
       val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
